@@ -1,0 +1,246 @@
+"""Fused acoustic feature front-end: STFT -> log-mel + FOA-IV (+ GCC-PHAT).
+
+TPU-native re-design of the reference front-end
+(``src/datasets.py:187-292`` ``FeatureLabelProcessor`` and
+``src/utils/utility.py:142-215``): the whole per-clip numpy/librosa chain
+becomes one batched jit program — STFT matmul, power, mel projection
+matmul, dB conversion, intensity-vector normalization and scaler
+standardization all fuse under XLA.
+
+Numerics mirrored from the reference:
+
+* log-mel: ``power_to_db`` with librosa defaults ``ref=1.0, amin=1e-10,
+  top_db=80`` applied per (clip, channel) — the top-db floor references the
+  max over that channel's spectrogram (``src/datasets.py:260-267``);
+* FOA intensity vectors: ``I = Re(conj(W) · [X,Y,Z])`` normalized by
+  ``eps + |W|² + mean(|XYZ|²)`` then mel-projected
+  (``src/datasets.py:269-279``);
+* scaler standardization ``(f - mean)/std`` from precomputed train stats
+  (``src/datasets.py:281-292``).
+
+Additions over the reference:
+
+* variable-length masking (``valid_frames``) so bucketed/padded eval clips
+  reproduce exact-length numerics (the per-channel dB max is computed over
+  valid frames only),
+* GCC-PHAT mel-lag features for MIC-array input (absent from the FOA-only
+  reference; required by BASELINE.json config #3; definition follows the
+  DCASE SELD baseline feature extractor).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DataConfig
+from .dsp import analysis_window, dft_matrices, mel_filterbank
+
+__all__ = ["power_to_db", "FeatureFrontend", "Scaler", "identity_scaler"]
+
+_EPS = 1e-8  # reference: src/datasets.py:204 self.eps
+_AMIN = 1e-10  # librosa power_to_db default
+_TOP_DB = 80.0
+
+
+def power_to_db(power: jax.Array, frame_mask: Optional[jax.Array] = None) -> jax.Array:
+    """``10*log10(max(p, amin))`` with an 80 dB floor below the per-(clip,
+    channel) maximum, matching ``librosa.power_to_db`` defaults as invoked at
+    ``src/datasets.py:265`` (ref=1.0).
+
+    power: (B, T, F, C).  frame_mask: optional (B, T) bool — padded frames
+    are excluded from the max so bucketed eval clips match exact-length
+    numerics.
+    """
+    db = 10.0 * jnp.log10(jnp.maximum(power, _AMIN))
+    if frame_mask is not None:
+        neg = jnp.asarray(-jnp.inf, db.dtype)
+        masked = jnp.where(frame_mask[:, :, None, None], db, neg)
+    else:
+        masked = db
+    peak = jnp.max(masked, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+    return jnp.maximum(db, peak - _TOP_DB)
+
+
+class Scaler:
+    """Per-(mel-bin, channel) standardization stats.
+
+    Layout-compatible with the reference's ``scaler_wts.pkl``
+    (``src/preprocess.py:116-130``): dict ``{'MEL': {'mean','std',...},
+    'IV': {...}}`` with arrays shaped ``(1, mel_bins, C)``.
+    """
+
+    def __init__(self, mel_mean, mel_std, iv_mean, iv_std):
+        def prep(a):
+            a = np.asarray(a, np.float32)
+            return a.reshape(a.shape[-2], a.shape[-1])  # (mel_bins, C)
+
+        self.mel_mean = prep(mel_mean)
+        self.mel_std = prep(mel_std)
+        self.iv_mean = prep(iv_mean)
+        self.iv_std = prep(iv_std)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "Scaler":
+        return cls(d["MEL"]["mean"], d["MEL"]["std"], d["IV"]["mean"], d["IV"]["std"])
+
+    @classmethod
+    def from_pickle(cls, path: str) -> "Scaler":
+        import pickle
+
+        with open(path, "rb") as f:
+            return cls.from_dict(pickle.load(f))
+
+
+def identity_scaler(mel_bins: int, n_mel_ch: int = 4, n_iv_ch: int = 3) -> Scaler:
+    z = np.zeros((1, mel_bins, n_mel_ch), np.float32)
+    o = np.ones((1, mel_bins, n_mel_ch), np.float32)
+    zi = np.zeros((1, mel_bins, n_iv_ch), np.float32)
+    oi = np.ones((1, mel_bins, n_iv_ch), np.float32)
+    return Scaler(z, o, zi, oi)
+
+
+# ---------------------------------------------------------------------------
+# jit kernels (constants passed as arrays so the trace is reusable)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _stft_re_im(x, n_fft, hop, w_re, w_im):
+    from .stft import frame_signal
+
+    B, N, C = x.shape
+    n_frames = N // hop
+    lpad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (lpad, 0), (0, 0)), mode="reflect")
+    rpad = (n_frames - 1) * hop + n_fft - (N + lpad)
+    if rpad > 0:
+        x = jnp.pad(x, ((0, 0), (0, rpad), (0, 0)))
+    frames = frame_signal(x, n_fft, hop, n_frames)
+    re = jnp.einsum("btnc,nk->btkc", frames, w_re, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("btnc,nk->btkc", frames, w_im, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return re, im
+
+
+def _logmel(re, im, mel_t, frame_mask):
+    power = re * re + im * im  # (B,T,K,C)
+    mel_power = jnp.einsum("btkc,km->btmc", power, mel_t,
+                           preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return power_to_db(mel_power, frame_mask)
+
+
+def _foa_iv(re, im, mel_t):
+    # W = channel 0, XYZ = channels 1:4  (src/datasets.py:270-275)
+    w_re, w_im = re[..., 0:1], im[..., 0:1]
+    x_re, x_im = re[..., 1:4], im[..., 1:4]
+    iv = w_re * x_re + w_im * x_im  # Re(conj(W)·X)
+    energy = _EPS + (w_re[..., 0] ** 2 + w_im[..., 0] ** 2
+                     + (x_re ** 2 + x_im ** 2).sum(-1) / 3.0)
+    iv = iv / energy[..., None]
+    return jnp.einsum("btkc,km->btmc", iv, mel_t, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _gcc_phat_mel(re, im, n_fft: int, n_lags: int):
+    """GCC-PHAT lag features for all unordered mic pairs.
+
+    For each pair (i, j): ``R = X_i conj(X_j)``; phase transform
+    ``R/|R|``; inverse rFFT; keep ``n_lags`` centered lags
+    (``concat(cc[-n_lags//2:], cc[:n_lags//2])``), the DCASE SELD baseline
+    convention.  Output (B, T, n_lags, n_pairs).
+    """
+    B, T, K, C = re.shape
+    pairs = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    outs = []
+    for (i, j) in pairs:
+        r_re = re[..., i] * re[..., j] + im[..., i] * im[..., j]
+        r_im = im[..., i] * re[..., j] - re[..., i] * im[..., j]
+        mag = jnp.sqrt(r_re ** 2 + r_im ** 2) + _EPS
+        spec = (r_re + 1j * r_im) / mag
+        cc = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B,T,n_fft)
+        half = n_lags // 2
+        cc = jnp.concatenate([cc[..., -half:], cc[..., : n_lags - half]], axis=-1)
+        outs.append(cc)
+    return jnp.stack(outs, axis=-1)  # (B,T,n_lags,n_pairs)
+
+
+class FeatureFrontend:
+    """Batched fused feature extractor.
+
+    ``__call__(audio, valid_frames=None) -> (B, T, mel_bins, C_feat)`` where
+    ``audio`` is float in [-1, 1], shape (B, N, C_in) and ``C_feat`` is
+    7 for FOA (4 log-mel + 3 IV, matching ``src/datasets.py:292``) or
+    4 + C*(C-1)/2 for MIC (log-mel + GCC-PHAT pairs).
+
+    ``valid_frames``: optional (B,) int32 count of valid STFT frames for
+    bucketed variable-length eval batches.
+    """
+
+    def __init__(self, data_cfg: DataConfig, scaler: Optional[Scaler] = None):
+        self.cfg = data_cfg
+        w = analysis_window(data_cfg.window, data_cfg.win_length, data_cfg.n_fft)
+        w_re, w_im = dft_matrices(data_cfg.n_fft, w)
+        self._w_re = jnp.asarray(w_re)
+        self._w_im = jnp.asarray(w_im)
+        mel = mel_filterbank(data_cfg.sr, data_cfg.n_fft, data_cfg.mel_bins)
+        self._mel_t = jnp.asarray(mel.T)  # (K, mel_bins)
+        if scaler is None:
+            scaler = identity_scaler(data_cfg.mel_bins)
+        self.set_scaler(scaler)
+        # scaler stats are passed as runtime args (not closed over) so that
+        # set_scaler() takes effect without retracing issues.
+        self._jit = jax.jit(self._forward)
+
+    def set_scaler(self, scaler: Scaler) -> None:
+        self._mel_mean = jnp.asarray(scaler.mel_mean)  # (mel, 4)
+        self._mel_std = jnp.asarray(scaler.mel_std)
+        self._iv_mean = jnp.asarray(scaler.iv_mean)  # (mel, 3)
+        self._iv_std = jnp.asarray(scaler.iv_std)
+
+    # -- unnormalized parts (used by the scaler-stats pipeline) -------------
+
+    def stft(self, audio):
+        return _stft_re_im(audio, self.cfg.n_fft, self.cfg.hop_length,
+                           self._w_re, self._w_im)
+
+    def _forward(self, audio, valid_frames, mel_mean, mel_std, iv_mean, iv_std):
+        re, im = _stft_re_im(audio, self.cfg.n_fft, self.cfg.hop_length,
+                             self._w_re, self._w_im)
+        B, T = re.shape[0], re.shape[1]
+        if valid_frames is None:
+            frame_mask = None
+        else:
+            t_idx = jnp.arange(T)[None, :]
+            frame_mask = t_idx < valid_frames[:, None]
+        mel_db = _logmel(re, im, self._mel_t, frame_mask)  # (B,T,mel,Cin)
+        mel_db = (mel_db - mel_mean) / mel_std
+
+        if self.cfg.audio_format == "foa":
+            iv = _foa_iv(re, im, self._mel_t)  # (B,T,mel,3)
+            iv = (iv - iv_mean) / iv_std
+            feat = jnp.concatenate([mel_db, iv], axis=-1)
+        else:  # mic
+            gcc = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
+            feat = jnp.concatenate([mel_db, gcc], axis=-1)
+
+        if frame_mask is not None:
+            feat = feat * frame_mask[:, :, None, None]
+        return feat
+
+    def __call__(self, audio, valid_frames=None):
+        return self._jit(audio, valid_frames, self._mel_mean, self._mel_std,
+                         self._iv_mean, self._iv_std)
+
+    def raw_mel_iv(self, audio):
+        """Unnormalized (mel_db, iv) — the quantities the scaler-stats pass
+        accumulates (``src/preprocess.py:87-130``)."""
+        re, im = self.stft(audio)
+        mel_db = _logmel(re, im, self._mel_t, None)
+        iv = _foa_iv(re, im, self._mel_t)
+        return mel_db, iv

@@ -1,0 +1,95 @@
+"""Batched multichannel STFT as an MXU matmul.
+
+Replaces the reference's per-channel host loop over ``librosa.core.stft``
+(``src/datasets.py:252-258``, ``src/utils/utility.py:142-165``) with a
+single jit-compiled device program:
+
+1. reflect-pad ``n_fft//2`` on the left (librosa ``center=True`` semantics;
+   only the *left* pad can influence the ``T = N // hop`` frames the
+   reference keeps, since frame ``T-1`` ends exactly at sample ``N``),
+2. frame via pure reshape+slice when ``hop | n_fft`` (the DCASE geometry:
+   n_fft=1200, hop=600) — zero gather cost — falling back to a strided
+   gather otherwise,
+3. one ``(B·T·C, n_fft) @ (n_fft, 1+n_fft//2)`` matmul pair against
+   window-folded DFT matrices (:func:`adyolo_tpu.ops.dsp.dft_matrices`).
+
+Output layout is channel-last ``(B, T, K, C)`` — the TPU-friendly layout
+used throughout the framework (the reference uses ``(T, F, C)`` per clip).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dsp import analysis_window, dft_matrices
+
+__all__ = ["frame_signal", "stft", "make_stft"]
+
+
+def frame_signal(x: jax.Array, n_fft: int, hop: int, n_frames: int) -> jax.Array:
+    """Frame ``x`` (B, L, C) into (B, n_frames, n_fft, C) windows starting at
+    multiples of ``hop``.  ``L`` must be >= (n_frames-1)*hop + n_fft."""
+    B, L, C = x.shape
+    need = (n_frames - 1) * hop + n_fft
+    if L < need:
+        raise ValueError(f"signal too short: {L} < {need}")
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        n_chunks = n_frames + r - 1
+        x = x[:, : n_chunks * hop]
+        chunks = x.reshape(B, n_chunks, hop, C)
+        # frame t = concat(chunks[t], ..., chunks[t+r-1]) — slices only.
+        parts = [chunks[:, i : i + n_frames] for i in range(r)]
+        return jnp.concatenate(parts, axis=2)
+    # general fallback: one gather
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).astype(np.int32)
+    return x[:, idx, :]  # (B, T, n_fft, C)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _stft_impl(x, w_re, w_im, n_fft, hop):
+    B, N, C = x.shape
+    n_frames = N // hop  # reference: nb_feature_frames = int(len(audio)/hop)
+    lpad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (lpad, 0), (0, 0)), mode="reflect")
+    rpad = (n_frames - 1) * hop + n_fft - (N + lpad)
+    if rpad > 0:
+        x = jnp.pad(x, ((0, 0), (0, rpad), (0, 0)))
+    frames = frame_signal(x, n_fft, hop, n_frames)  # (B, T, n_fft, C)
+    # MXU: contract the n_fft axis.  (B,T,n,C),(n,K) -> (B,T,K,C)
+    re = jnp.einsum("btnc,nk->btkc", frames, w_re,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("btnc,nk->btkc", frames, w_im,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return re, im
+
+
+def stft(x: jax.Array, n_fft: int, hop: int, win_length: int,
+         window: str = "han") -> tuple[jax.Array, jax.Array]:
+    """STFT of ``x`` (B, N, C) -> (re, im), each (B, T=N//hop, 1+n_fft//2, C).
+
+    Numerically equivalent (float32) to truncating librosa-0.8.1
+    ``stft(center=True, pad_mode='reflect')`` to ``N//hop`` frames and
+    transposing to time-major, per channel.
+    """
+    w = analysis_window(window, win_length, n_fft)
+    w_re, w_im = dft_matrices(n_fft, w)
+    return _stft_impl(x, jnp.asarray(w_re), jnp.asarray(w_im), n_fft, hop)
+
+
+def make_stft(n_fft: int, hop: int, win_length: int, window: str = "han"):
+    """Return a jit-ready ``f(x) -> (re, im)`` with constants precomputed."""
+    w = analysis_window(window, win_length, n_fft)
+    w_re, w_im = dft_matrices(n_fft, w)
+    w_re = jnp.asarray(w_re)
+    w_im = jnp.asarray(w_im)
+
+    def f(x):
+        return _stft_impl(x, w_re, w_im, n_fft, hop)
+
+    return f

@@ -1,0 +1,130 @@
+"""Front-end kernel parity tests vs. numpy oracles (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from adyolo_tpu.config import DataConfig
+from adyolo_tpu.ops import dsp
+from adyolo_tpu.ops.features import FeatureFrontend, Scaler, identity_scaler
+from adyolo_tpu.ops.stft import stft
+
+from tests import oracle_dsp as oracle
+
+
+SR, NFFT, HOP, WIN, MEL = 24000, 1200, 600, 1200, 64
+
+
+def rand_audio(n_samples, C=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((n_samples, C)) * 0.1).astype(np.float32)
+
+
+def test_hann_window_periodic():
+    w = dsp.hann_window(8)
+    # periodic hann: w[0]=0, symmetric around n/2, w[4]=1
+    assert w[0] == 0.0
+    assert abs(w[4] - 1.0) < 1e-7
+    np.testing.assert_allclose(w[1:4], w[:4:-1], rtol=1e-6)
+
+
+def test_mel_filterbank_properties():
+    mel = dsp.mel_filterbank(SR, NFFT, MEL)
+    assert mel.shape == (MEL, 1 + NFFT // 2)
+    assert (mel >= 0).all()
+    # every filter has support; slaney normalization keeps area ~ 2/bandwidth
+    assert (mel.sum(axis=1) > 0).all()
+    # filters tile the spectrum: every bin between first/last peak covered
+    cover = mel.sum(axis=0)
+    nz = np.nonzero(cover > 0)[0]
+    assert nz[0] <= 2 and nz[-1] >= NFFT // 2 - 1
+
+
+def test_stft_matches_oracle():
+    n = SR * 2  # 2 s
+    audio = rand_audio(n)
+    win = dsp.hann_window(NFFT)
+    want = oracle.oracle_multich_stft(audio.astype(np.float64), NFFT, HOP, win.astype(np.float64))
+    re, im = stft(audio[None], NFFT, HOP, WIN)
+    re, im = np.asarray(re[0]), np.asarray(im[0])
+    assert re.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(re, want.real, atol=2e-4 * scale)
+    np.testing.assert_allclose(im, want.imag, atol=2e-4 * scale)
+
+
+def test_stft_frame_count_matches_reference_convention():
+    # reference: nb_feature_frames = int(len(audio)/hop)  (datasets.py:283)
+    n = SR * 20
+    audio = rand_audio(n, seed=1)
+    re, _ = stft(audio[None], NFFT, HOP, WIN)
+    assert re.shape[1] == n // HOP == 800
+
+
+def test_logmel_iv_match_oracle():
+    n = SR * 2
+    audio = rand_audio(n, seed=2)
+    cfg = DataConfig()
+    fe = FeatureFrontend(cfg)
+    feat = np.asarray(fe(audio[None]))[0]  # (T, 64, 7), identity scaler
+
+    win = dsp.hann_window(NFFT).astype(np.float64)
+    melT = dsp.mel_filterbank(SR, NFFT, MEL).T.astype(np.float64)
+    spec = oracle.oracle_multich_stft(audio.astype(np.float64), NFFT, HOP, win)
+    want_mel = oracle.oracle_logmel(spec, melT)
+    want_iv = oracle.oracle_foa_iv(spec, melT)
+
+    np.testing.assert_allclose(feat[..., :4], want_mel, atol=2e-3)
+    np.testing.assert_allclose(feat[..., 4:], want_iv, atol=2e-4)
+
+
+def test_scaler_normalization():
+    n = SR * 1
+    audio = rand_audio(n, seed=3)
+    cfg = DataConfig()
+    fe = FeatureFrontend(cfg)
+    raw = np.asarray(fe(audio[None]))[0]
+
+    rng = np.random.default_rng(0)
+    mm = rng.standard_normal((1, MEL, 4)).astype(np.float32)
+    ms = np.abs(rng.standard_normal((1, MEL, 4))).astype(np.float32) + 0.5
+    im_ = rng.standard_normal((1, MEL, 3)).astype(np.float32)
+    is_ = np.abs(rng.standard_normal((1, MEL, 3))).astype(np.float32) + 0.5
+    fe.set_scaler(Scaler(mm, ms, im_, is_))
+    got = np.asarray(fe(audio[None]))[0]
+
+    np.testing.assert_allclose(got[..., :4], (raw[..., :4] - mm[0]) / ms[0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got[..., 4:], (raw[..., 4:] - im_[0]) / is_[0], rtol=2e-3, atol=2e-3)
+
+
+def test_variable_length_masking_matches_exact_length():
+    """A short clip zero-padded into a longer bucket must produce the same
+    features (over valid frames) as running it at its exact length."""
+    n_short = SR * 2
+    audio = rand_audio(n_short, seed=4)
+    cfg = DataConfig()
+    fe = FeatureFrontend(cfg)
+
+    exact = np.asarray(fe(audio[None]))[0]  # (T_short, 64, 7)
+
+    n_long = SR * 3
+    padded = np.zeros((n_long, 4), np.float32)
+    padded[:n_short] = audio
+    t_valid = n_short // HOP
+    bucketed = np.asarray(fe(padded[None], valid_frames=np.array([t_valid])))[0]
+
+    np.testing.assert_allclose(bucketed[:t_valid], exact, atol=1e-4)
+    # padded frames are zeroed
+    assert np.abs(bucketed[t_valid:]).max() == 0.0
+
+
+def test_gcc_phat_mic_path():
+    n = SR * 1
+    audio = rand_audio(n, C=4, seed=5)
+    cfg = DataConfig(audio_format="mic")
+    fe = FeatureFrontend(cfg)
+    feat = np.asarray(fe(audio[None]))[0]
+    assert feat.shape[-1] == 4 + 6  # 4 logmel + 6 gcc pairs
+
+    win = dsp.hann_window(NFFT).astype(np.float64)
+    spec = oracle.oracle_multich_stft(audio.astype(np.float64), NFFT, HOP, win)
+    want = oracle.oracle_gcc_phat(spec, NFFT, MEL)
+    np.testing.assert_allclose(feat[..., 4:], want, atol=2e-3)
