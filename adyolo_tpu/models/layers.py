@@ -1,0 +1,212 @@
+"""Shared model building blocks (flax.linen).
+
+TPU conventions used throughout:
+
+* activations are channel-last ``(B, T, F, C)`` (XLA:TPU's preferred conv
+  layout) — the reference uses torch NCHW ``(B, C, T, F)``;
+* all blocks accept an optional ``frame_mask (B, T)`` so bucketed/padded
+  variable-length eval clips reproduce exact-length numerics: padded
+  frames are re-zeroed after every conv/norm so boundary convolutions see
+  the same zero neighborhood the reference's exact-shape run sees, and
+  global pools average over valid frames only;
+* BatchNorm: torch semantics (momentum 0.1 ⇒ flax momentum 0.9,
+  eps 1e-5, running stats in the ``batch_stats`` collection).
+
+Reference counterparts: ``src/models/backbones/resnet.py`` (SEBasicBlock,
+SELayer, SelfAttentionPooling) and torch ``nn.GRU`` used at
+``resnet.py:153``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+__all__ = [
+    "apply_frame_mask",
+    "pool_mask",
+    "SELayer",
+    "SEBasicBlock",
+    "SelfAttentionPooling",
+    "BiGRU",
+    "reverse_sequence",
+]
+
+
+def apply_frame_mask(x: jax.Array, frame_mask: Optional[jax.Array]) -> jax.Array:
+    """Zero activations of padded frames. x: (B, T, ...) , mask: (B, T)."""
+    if frame_mask is None:
+        return x
+    shape = (x.shape[0], x.shape[1]) + (1,) * (x.ndim - 2)
+    return x * frame_mask.reshape(shape).astype(x.dtype)
+
+
+def pool_mask(frame_mask: Optional[jax.Array], factor: int) -> Optional[jax.Array]:
+    """Downsample a frame mask through a stride-``factor`` time pool.
+    Valid lengths are multiples of the total pooling factor by construction
+    (feature frames = 4 × label frames), so strided slicing is exact."""
+    if frame_mask is None:
+        return None
+    return frame_mask[:, ::factor]
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation (reference: resnet.py:91-106, reduction 8).
+    The squeeze is a (masked) global mean over (T, F)."""
+
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x, frame_mask=None):
+        B, T, F, C = x.shape
+        if frame_mask is None:
+            y = jnp.mean(x, axis=(1, 2))  # (B, C)
+        else:
+            m = frame_mask[:, :, None, None].astype(x.dtype)
+            y = (x * m).sum(axis=(1, 2)) / (m.sum(axis=(1, 2)) * F + 1e-12)
+        y = nn.Dense(C // self.reduction)(y)
+        y = nn.relu(y)
+        y = nn.Dense(C)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class SEBasicBlock(nn.Module):
+    """SE residual block (reference: resnet.py:7-47).
+
+    Layout: [avgpool?] -> conv3x3 -> ReLU -> BN -> conv3x3 -> BN -> SE ->
+    (+residual, 1x1-conv downsample when channels change) -> ReLU.
+    Note the unusual conv->ReLU->BN order of the first conv — mirrored
+    deliberately (resnet.py:33-35).
+    """
+
+    planes: int
+    pool: Optional[Tuple[int, int]] = None
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool, frame_mask=None):
+        if self.pool is not None:
+            x = nn.avg_pool(x, self.pool, strides=self.pool)
+            frame_mask = pool_mask(frame_mask, self.pool[0])
+            x = apply_frame_mask(x, frame_mask)
+        residual = x
+        in_ch = x.shape[-1]
+
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        out = nn.relu(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn1")(out)
+        out = apply_frame_mask(out, frame_mask)
+
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn2")(out)
+        out = apply_frame_mask(out, frame_mask)
+        out = SELayer(self.reduction, name="se")(out, frame_mask)
+
+        if in_ch != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), use_bias=False, name="down_conv")(residual)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, name="down_bn")(residual)
+            residual = apply_frame_mask(residual, frame_mask)
+
+        out = nn.relu(out + residual)
+        return apply_frame_mask(out, frame_mask), frame_mask
+
+
+class SelfAttentionPooling(nn.Module):
+    """Attention pooling over the frequency axis (reference:
+    resnet.py:109-123): scalar score per (t, f), softmax over f, weighted
+    sum.  Frequency axis is fully valid even for padded clips, so no mask
+    is needed here."""
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, F, C)
+        attn = nn.Dense(1, name="W")(x)[..., 0]  # (B, T, F)
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("btfc,btf->btc", x, attn)
+
+
+def reverse_sequence(x: jax.Array, lengths: Optional[jax.Array]) -> jax.Array:
+    """Reverse each (B, T, ...) sequence within its valid length so the
+    backward GRU direction starts from the last *valid* frame (padded
+    frames end up at the tail and never influence valid outputs)."""
+    B, T = x.shape[0], x.shape[1]
+    if lengths is None:
+        return jnp.flip(x, axis=1)
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, idx.reshape(B, T, *([1] * (x.ndim - 2))), axis=1)
+
+
+class _GRUDirection(nn.Module):
+    """Single-direction GRU with torch nn.GRU gate conventions:
+
+    r = σ(W_ir x + b_ir + W_hr h + b_hr)
+    z = σ(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))
+    h' = (1 - z) ⊙ n + z ⊙ h
+
+    Implemented as one input projection matmul over the whole sequence
+    (batched MXU work) + a lax.scan over time for the recurrent part.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, D = x.shape
+        H = self.hidden
+        k = 1.0 / jnp.sqrt(H)
+        u = nn.initializers.uniform(scale=2 * k)  # ~U(0, 2k); shift to (-k, k)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return u(key, shape, dtype) - k
+
+        w_ih = self.param("w_ih", uinit, (D, 3 * H))
+        w_hh = self.param("w_hh", uinit, (H, 3 * H))
+        b_ih = self.param("b_ih", uinit, (3 * H,))
+        b_hh = self.param("b_hh", uinit, (3 * H,))
+
+        # hoist the input projection out of the scan: (B,T,D)@(D,3H)
+        xi = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih
+
+        def step(h, xi_t):
+            hh = h @ w_hh + b_hh
+            r = jax.nn.sigmoid(xi_t[..., :H] + hh[..., :H])
+            z = jax.nn.sigmoid(xi_t[..., H : 2 * H] + hh[..., H : 2 * H])
+            n = jnp.tanh(xi_t[..., 2 * H :] + r * hh[..., 2 * H :])
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        h0 = jnp.zeros((B, H), x.dtype)
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xi, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+class BiGRU(nn.Module):
+    """Multi-layer bidirectional GRU matching torch
+    ``nn.GRU(bidirectional=True, num_layers=n, dropout=p, batch_first=True)``
+    as used at resnet.py:153: dropout on every layer's output except the
+    last.  ``lengths`` (valid frames at this rate) drives the
+    reverse-sequence trick for padded eval clips."""
+
+    hidden: int
+    num_layers: int = 2
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, train: bool, lengths=None):
+        for layer in range(self.num_layers):
+            fwd = _GRUDirection(self.hidden, name=f"l{layer}_fwd")(x)
+            x_rev = reverse_sequence(x, lengths)
+            bwd = _GRUDirection(self.hidden, name=f"l{layer}_bwd")(x_rev)
+            bwd = reverse_sequence(bwd, lengths)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+            if layer < self.num_layers - 1 and self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x

@@ -1,0 +1,230 @@
+"""SELD training losses (pure JAX, statically shaped).
+
+Re-implementations of ``src/models/loss.py``:
+
+* :func:`seddoa_loss`      — BCE(sed) + 1000·MSE(doa), optional
+  activity-masked MSE (loss.py:32-54),
+* :func:`accdoa_loss`      — plain MSE (loss.py:57-67),
+* :func:`adpit_loss`       — 13-permutation track PIT with the pad-target
+  trick, class/frame-wise argmin (loss.py:70-153), vectorized over the
+  permutation axis instead of 13 sequential calls,
+* :func:`adyolo_loss`      — the paper's angular-distance responsible-
+  assignment loss (loss.py:156-251), re-expressed with **static shapes**:
+  the reference's ragged target list and boolean-indexed BCE partitions
+  (``output[obj_label]``; loss.py:226-239) become masked sums with exact
+  denominator bookkeeping over a fixed-capacity padded target tensor, so
+  a single XLA program covers every batch.
+
+BCE matches torch ``nn.BCELoss`` semantics (per-element terms clamped to
+100, the counterpart of torch clamping log at -100) but is computed from
+logits via softplus for numerical robustness — mathematically identical
+through sigmoid.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LossGains
+from ..ops.angular import gc_distance_deg
+from ..ops.grid import GridGeometry
+
+__all__ = ["seddoa_loss", "accdoa_loss", "adpit_loss", "adyolo_loss", "bce_probs"]
+
+_BCE_CLAMP = 100.0  # torch BCELoss clamps log at -100
+
+
+def bce_probs(p, y):
+    """Elementwise BCE on probabilities, torch nn.BCELoss convention."""
+    logp = jnp.maximum(jnp.log(jnp.clip(p, 1e-38)), -_BCE_CLAMP)
+    log1mp = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-38)), -_BCE_CLAMP)
+    return -(y * logp + (1.0 - y) * log1mp)
+
+
+def _bce_logits_pos(z):
+    """BCE(sigmoid(z), 1) = softplus(-z), clamped like torch."""
+    return jnp.minimum(jax.nn.softplus(-z), _BCE_CLAMP)
+
+
+def _bce_logits_neg(z):
+    """BCE(sigmoid(z), 0) = softplus(z), clamped like torch."""
+    return jnp.minimum(jax.nn.softplus(z), _BCE_CLAMP)
+
+
+# ---------------------------------------------------------------------------
+
+
+def seddoa_loss(output, target, nb_classes: int, masked_mse: bool):
+    """output/target: (B, T, 4K) = [sed K ‖ doa 3K] (loss.py:42-54)."""
+    sed_o, doa_o = output[..., :nb_classes], output[..., nb_classes:]
+    sed_t, doa_t = target[..., :nb_classes], target[..., nb_classes:]
+    sed_loss = bce_probs(sed_o, sed_t).mean()
+    if masked_mse:
+        doa_o = doa_o * jnp.tile(sed_t, (1, 1, 3))
+    doa_loss = jnp.mean((doa_o - doa_t) ** 2)
+    return sed_loss + 1000.0 * doa_loss
+
+
+def accdoa_loss(output, target):
+    return jnp.mean((output - target) ** 2)
+
+
+# ---------------------------------------------------------------------------
+
+# slot-permutations of the ADPIT pad-target scheme (loss.py:91-121):
+# slot ids: A0=0, B0=1, B1=2, C0=3, C1=4, C2=5; each row lists the 3 track
+# assignments; the pad is the sum of the two *other* groups' canonical perms.
+_ADPIT_PERMS = (
+    (0, 0, 0),  # A0A0A0 (+ pad B0B0B1 + C0C1C2)
+    (1, 1, 2), (1, 2, 1), (1, 2, 2), (2, 1, 1), (2, 1, 2), (2, 2, 1),  # B perms
+    (3, 4, 5), (3, 5, 4), (4, 3, 5), (4, 5, 3), (5, 3, 4), (5, 4, 3),  # C perms
+)
+
+
+def adpit_loss(output, target, nb_classes: int):
+    """output: (B, T, 9K); target: (B, T, 6, 4, K) (loss.py:79-153)."""
+    B, T = target.shape[:2]
+    K = nb_classes
+    # activity-gated slot DOAs: (B, T, 6, 3, K)
+    slot = target[:, :, :, 0:1, :] * target[:, :, :, 1:, :]
+
+    a = jnp.concatenate([slot[:, :, 0], slot[:, :, 0], slot[:, :, 0]], axis=2)
+    b = jnp.concatenate([slot[:, :, 1], slot[:, :, 1], slot[:, :, 2]], axis=2)
+    c = jnp.concatenate([slot[:, :, 3], slot[:, :, 4], slot[:, :, 5]], axis=2)
+    pads = {0: b + c, 1: a + c, 3: a + b}  # pad4A / pad4B / pad4C
+
+    out = output.reshape(B, T, 9, K)
+    losses = []
+    for perm in _ADPIT_PERMS:
+        tgt = jnp.concatenate([slot[:, :, perm[0]], slot[:, :, perm[1]], slot[:, :, perm[2]]], axis=2)
+        tgt = tgt + pads[perm[0] if perm[0] in (0, 1, 3) else {2: 1, 4: 3, 5: 3}[perm[0]]]
+        losses.append(jnp.mean((out - tgt) ** 2, axis=2))  # (B, T, K)
+    stack = jnp.stack(losses, axis=0)  # (13, B, T, K)
+    idx = jnp.argmin(stack, axis=0)
+    chosen = jnp.take_along_axis(stack, idx[None], axis=0)[0]
+    return chosen.mean()
+
+
+# ---------------------------------------------------------------------------
+
+
+def adyolo_decode_grid(logits, geom: GridGeometry, nb_classes: int,
+                       clamp_ele: Tuple[float, float] = (-90.0, 90.0)):
+    """Shared grid decode for loss and inference (loss.py:195-213 /
+    datasets.py:752-768): reshape to the (…, G0, G1, A, K+3) grid, split
+    into [obj, class..] logits and tanh (u, v), un-normalize (u, v) to
+    degrees (cell offset + overlap-scaled span), clamp elevation, wrap
+    azimuth into [-180, 180).
+
+    Returns (conf_logits, uv_deg): (..., G0, G1, A, K+1) and (..., A, 2).
+    """
+    g0, g1 = geom.nb_grids
+    A = geom.nb_anchors
+    lead = logits.shape[:-1]
+    x = logits.reshape(*lead, g0, g1, A, nb_classes + 3)
+    conf_logits = x[..., : nb_classes + 1]
+    uv = jnp.tanh(x[..., nb_classes + 1 :])
+    scale = jnp.asarray(geom.uv_to_degrees_scale())  # (2,)
+    offset = jnp.asarray(geom.offset)  # (g0, g1, 2)
+    bshape = (1,) * len(lead) + (g0, g1, 1, 2)
+    uv = uv * scale + offset.reshape(bshape)
+    u = uv[..., 0]
+    v = jnp.clip(uv[..., 1], clamp_ele[0], clamp_ele[1])
+    u = jnp.where(u >= 180.0, u - 360.0, u)
+    u = jnp.where(u < -180.0, u + 360.0, u)
+    return conf_logits, jnp.stack([u, v], axis=-1)
+
+
+def adyolo_loss(
+    logits,
+    targets,
+    target_mask,
+    geom: GridGeometry,
+    nb_classes: int,
+    train_unify: Sequence[float] = (45.0, 25.0, 10.0),
+    gains: LossGains = LossGains(),
+):
+    """AD-YOLO loss under static shapes (loss.py:189-251).
+
+    logits:      (B, T, G0*G1*A*(K+3)) raw head output
+    targets:     (M, 7) padded [batch, frame, Gi, Gj, class, U, V]
+    target_mask: (M,) bool validity
+
+    For each unify threshold τ the responsible anchors are
+    ``D < τ  ∪  argmin_a D`` (loss.py:222-224); object/class one-hot grids
+    are built by scatter-max (duplicate (cell, anchor) hits collapse, as
+    boolean indexing does in the reference), and every mean is a masked
+    sum over the static grid with the matching element count as
+    denominator — exactly the set sizes torch's boolean partitions produce.
+    """
+    B, T, _ = logits.shape
+    g0, g1 = geom.nb_grids
+    A = geom.nb_anchors
+    K = nb_classes
+    NP = B * T * g0 * g1 * A
+
+    conf_logits, uv = adyolo_decode_grid(logits, geom, K)
+    # flatten grid for scatter/gather
+    conf_flat = conf_logits.reshape(NP, K + 1)
+    uv_cells = uv.reshape(B * T * g0 * g1, A, 2)
+
+    valid = target_mask
+    bi = targets[:, 0].astype(jnp.int32)
+    ti = targets[:, 1].astype(jnp.int32)
+    gi = targets[:, 2].astype(jnp.int32)
+    gj = targets[:, 3].astype(jnp.int32)
+    ci = targets[:, 4].astype(jnp.int32)
+    cell = ((bi * T + ti) * g0 + gi) * g1 + gj
+    cell = jnp.where(valid, cell, 0)
+    ci = jnp.where(valid, ci, 0)
+
+    pred_uv = uv_cells[cell]  # (M, A, 2)
+    D = gc_distance_deg(pred_uv, targets[:, None, 5:7], clip_eps=1e-7)  # (M, A)
+
+    anchor_flat = cell[:, None] * A + jnp.arange(A)[None, :]  # (M, A)
+    amin_onehot = jax.nn.one_hot(jnp.argmin(D, axis=1), A, dtype=bool)
+
+    z_obj = conf_flat[:, 0]
+    z_cls = conf_flat[:, 1:]
+    pos_all = _bce_logits_pos(z_obj)
+    neg_all = _bce_logits_neg(z_obj)
+
+    total = jnp.asarray(0.0, jnp.float32)
+    n_taus = len(train_unify)
+    for i, tau in enumerate(train_unify):
+        resp = (D < tau) | amin_onehot
+        resp = resp & valid[:, None]
+
+        obj = jnp.zeros((NP,), bool).at[anchor_flat.reshape(-1)].max(resp.reshape(-1))
+        cls_lab = (
+            jnp.zeros((NP, K), bool)
+            .at[anchor_flat.reshape(-1), jnp.broadcast_to(ci[:, None], resp.shape).reshape(-1)]
+            .max(resp.reshape(-1))
+        )
+
+        n_pos = obj.sum()
+        n_pos_f = jnp.maximum(n_pos, 1).astype(jnp.float32)
+        n_neg_f = jnp.maximum(NP - n_pos, 1).astype(jnp.float32)
+
+        objf = obj.astype(jnp.float32)
+        pos_loss = jnp.sum(pos_all * objf) / n_pos_f
+        neg_loss = jnp.sum(neg_all * (1.0 - objf)) / n_neg_f
+
+        y = cls_lab.astype(jnp.float32)
+        cls_elem = _bce_logits_pos(z_cls) * y + _bce_logits_neg(z_cls) * (1.0 - y)
+        class_loss = jnp.sum(cls_elem * objf[:, None]) / (n_pos_f * K)
+
+        if i == 0:
+            respf = resp.astype(jnp.float32)
+            n_resp = jnp.maximum(respf.sum(), 1.0)
+            total = total + (jnp.sum(D / 180.0 * respf) / n_resp) * gains.angular_gain
+
+        total = total + (
+            pos_loss * gains.object_gain
+            + neg_loss * gains.nonobj_gain
+            + class_loss * gains.class_gain
+        ) / n_taus
+
+    return total

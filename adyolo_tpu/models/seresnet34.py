@@ -1,0 +1,72 @@
+"""SE-ResNet34 + BiGRU SELD encoder (flax.linen).
+
+Re-implementation of the reference encoder
+(``src/models/backbones/resnet.py:126-199``):
+
+* stem: 3x3 conv (bias) -> ReLU -> BN                     (resnet.py:142-144)
+* 4 stages of SEBasicBlocks [3, 4, 6, 3] with channels [32, 64, 128, 256];
+  stages 2 and 3 open with a 2x2 average pool => T/4, F/4 (resnet.py:146-149)
+* self-attention pooling over frequency -> (B, T/4, 256)  (resnet.py:151)
+* 2-layer BiGRU(128 per direction, dropout 0.3) + LayerNorm + tanh
+  (resnet.py:153-154, 192-197)
+
+Input here is channel-last (B, T, F, C); shapes for the DCASE geometry:
+(B, 800, 64, 7) -> (B, 200, 256).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import (
+    BiGRU,
+    SEBasicBlock,
+    SelfAttentionPooling,
+    apply_frame_mask,
+)
+
+__all__ = ["SEResNet34"]
+
+_LAYERS = (3, 4, 6, 3)
+_FILTERS = (32, 64, 128, 256)
+_POOLS = (None, (2, 2), (2, 2), None)
+
+
+class SEResNet34(nn.Module):
+    enc_out_dim: int = 256
+    time_pool: int = 4  # total time downsampling (matches label rate: 800->200)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
+        """x: (B, T, F, C); feat_lengths: optional (B,) valid frame counts.
+        Returns (B, T // 4, enc_out_dim)."""
+        frame_mask = None
+        if feat_lengths is not None:
+            t = jnp.arange(x.shape[1])[None, :]
+            frame_mask = t < feat_lengths[:, None]
+            x = apply_frame_mask(x, frame_mask)
+
+        x = nn.Conv(_FILTERS[0], (3, 3), padding=1, use_bias=True, name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = apply_frame_mask(x, frame_mask)
+
+        for stage, (n_blocks, planes, pool) in enumerate(zip(_LAYERS, _FILTERS, _POOLS)):
+            for b in range(n_blocks):
+                x, frame_mask = SEBasicBlock(
+                    planes=planes,
+                    pool=pool if b == 0 else None,
+                    name=f"layer{stage + 1}_block{b}",
+                )(x, train, frame_mask)
+
+        x = SelfAttentionPooling(name="attention")(x)  # (B, T/4, 256)
+
+        lengths = None if feat_lengths is None else feat_lengths // self.time_pool
+        x = BiGRU(hidden=self.enc_out_dim // 2, num_layers=2, dropout=0.3,
+                  name="gru")(x, train, lengths)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return jnp.tanh(x)

@@ -1,0 +1,138 @@
+"""Loss parity tests vs dynamic-shape numpy oracles."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adyolo_tpu.config import LossGains
+from adyolo_tpu.models import losses as L
+from adyolo_tpu.ops.grid import GridGeometry
+from adyolo_tpu.data.labels import encode_adyolo, pad_yolo_targets
+
+from tests import oracle_losses as oracle
+
+K = 13
+GEOM = GridGeometry(grid_size=(45.0, 45.0), g_overlap=0.5, nb_anchors=5)
+
+
+def test_grid_geometry():
+    assert GEOM.nb_grids == (8, 4)
+    assert GEOM.nb_predicts == 8 * 4 * 5
+    # center of cell (0, 0)
+    np.testing.assert_allclose(GEOM.offset[0, 0], [-157.5, -67.5])
+    np.testing.assert_allclose(GEOM.offset[7, 3], [157.5, 67.5])
+    # overlap-expanded bounds, elevation clipped
+    np.testing.assert_allclose(GEOM.lb[0, 0], [-202.5, -90.0])
+    np.testing.assert_allclose(GEOM.ub[7, 3], [202.5, 90.0])
+
+
+def test_responsible_cells_wraparound():
+    # an event at azi=-179 must also be owned by cells near +180 via wrap
+    resp = GEOM.responsible_cells(-179.0, 0.0)
+    gi = np.where(resp.any(axis=1))[0]
+    assert 0 in gi and 7 in gi  # both edges of the azimuth grid
+
+
+def test_seddoa_loss_matches_oracle():
+    rng = np.random.default_rng(0)
+    out = rng.uniform(0.01, 0.99, (2, 8, 4 * K)).astype(np.float32)
+    tgt = (rng.uniform(size=(2, 8, 4 * K)) > 0.7).astype(np.float32)
+    for masked in (False, True):
+        got = float(L.seddoa_loss(jnp.asarray(out), jnp.asarray(tgt), K, masked))
+        want = oracle.oracle_seddoa(out, tgt, K, masked)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_accdoa_loss():
+    rng = np.random.default_rng(1)
+    out = rng.standard_normal((2, 8, 3 * K)).astype(np.float32)
+    tgt = rng.standard_normal((2, 8, 3 * K)).astype(np.float32)
+    got = float(L.accdoa_loss(jnp.asarray(out), jnp.asarray(tgt)))
+    np.testing.assert_allclose(got, ((out - tgt) ** 2).mean(), rtol=1e-6)
+
+
+def test_adpit_loss_matches_oracle():
+    rng = np.random.default_rng(2)
+    B, T = 2, 16
+    out = rng.standard_normal((B, T, 9 * K)).astype(np.float32) * 0.5
+    tgt = np.zeros((B, T, 6, 4, K), np.float32)
+    # random sparse activity across all slot groups
+    for _ in range(60):
+        b, t, c = rng.integers(B), rng.integers(T), rng.integers(K)
+        group = rng.integers(3)
+        slots = [[0], [1, 2], [3, 4, 5]][group]
+        for s in slots:
+            xyz = rng.standard_normal(3)
+            xyz /= np.linalg.norm(xyz)
+            tgt[b, t, s, 0, c] = 1.0
+            tgt[b, t, s, 1:, c] = xyz
+    got = float(L.adpit_loss(jnp.asarray(out), jnp.asarray(tgt), K))
+    want = oracle.oracle_adpit(out, tgt, K)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _random_events(rng, B, T, n):
+    """Generate events + their grid-cell assignments via the label encoder."""
+    per_clip = []
+    all_events = []
+    for b in range(B):
+        label = {}
+        for _ in range(n):
+            t = int(rng.integers(T))
+            azi = float(rng.uniform(-180, 180))
+            ele = float(rng.uniform(-90, 90))
+            c = int(rng.integers(K))
+            label.setdefault(t, []).append([c, 0, azi, ele])
+        enc = encode_adyolo(label, T, GEOM)
+        per_clip.append(enc)
+        for row in enc:
+            all_events.append([b] + list(row))
+    return per_clip, all_events
+
+
+@pytest.mark.parametrize("n_events", [0, 1, 5])
+def test_adyolo_loss_matches_oracle(n_events):
+    rng = np.random.default_rng(3 + n_events)
+    B, T = 2, 8
+    P = GEOM.nb_predicts * (K + 3)
+    logits = (rng.standard_normal((B, T, P)) * 0.7).astype(np.float32)
+    per_clip, all_events = _random_events(rng, B, T, n_events)
+    targets, mask = pad_yolo_targets(per_clip, max_targets=256)
+
+    got = float(
+        L.adyolo_loss(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(mask),
+                      GEOM, K, (45.0, 25.0, 10.0), LossGains())
+    )
+    want = oracle.oracle_adyolo(logits, all_events, GEOM, K,
+                                (45.0, 25.0, 10.0), LossGains())
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_adyolo_loss_padding_invariance():
+    """Loss must not depend on the padded-target capacity."""
+    rng = np.random.default_rng(9)
+    B, T = 2, 8
+    P = GEOM.nb_predicts * (K + 3)
+    logits = jnp.asarray((rng.standard_normal((B, T, P)) * 0.5).astype(np.float32))
+    per_clip, _ = _random_events(rng, B, T, 4)
+    a = pad_yolo_targets(per_clip, max_targets=128)
+    b = pad_yolo_targets(per_clip, max_targets=512)
+    la = float(L.adyolo_loss(logits, jnp.asarray(a[0]), jnp.asarray(a[1]), GEOM, K))
+    lb = float(L.adyolo_loss(logits, jnp.asarray(b[0]), jnp.asarray(b[1]), GEOM, K))
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+
+def test_adyolo_grad_finite():
+    import jax
+
+    rng = np.random.default_rng(11)
+    B, T = 1, 4
+    P = GEOM.nb_predicts * (K + 3)
+    logits = jnp.asarray(rng.standard_normal((B, T, P)).astype(np.float32))
+    per_clip, _ = _random_events(rng, B, T, 3)
+    targets, mask = pad_yolo_targets(per_clip, max_targets=64)
+
+    g = jax.grad(
+        lambda lg: L.adyolo_loss(lg, jnp.asarray(targets), jnp.asarray(mask), GEOM, K)
+    )(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
