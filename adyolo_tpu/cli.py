@@ -1,0 +1,89 @@
+"""Command-line entry point (reference ``src/main.py`` + ``src/preprocess.py``).
+
+Usage:
+    python -m adyolo_tpu.cli train  --dataset DCASE2022 --encoder se-resnet34 --loss adyolo
+    python -m adyolo_tpu.cli val    --eval_pth <exp_id>
+    python -m adyolo_tpu.cli test   --eval_pth <exp_id>
+    python -m adyolo_tpu.cli infer  --eval_pth <exp_id> --infer_pth <wav_dir>
+    python -m adyolo_tpu.cli preprocess chunking --dataset all
+    python -m adyolo_tpu.cli preprocess scaler   --dataset all
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="adyolo_tpu")
+    sub = p.add_subparsers(dest="action", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--dataset", type=str, default="DCASE2022",
+                        choices=["DCASE2020", "DCASE2021", "DCASE2022"])
+        sp.add_argument("--encoder", type=str, default="se-resnet34",
+                        choices=["se-resnet34", "resnet-conformer"])
+        sp.add_argument("--loss", type=str, default="adyolo",
+                        choices=["seddoa", "masked-seddoa", "accdoa", "adpit", "adyolo"])
+        sp.add_argument("--seed", type=int, default=100)
+        sp.add_argument("--augment", action="store_true")
+        sp.add_argument("--fix_thresh", action="store_true")
+        sp.add_argument("--logger", action="store_true")
+        sp.add_argument("--quick_test", action="store_true")
+        sp.add_argument("--eval_pth", type=str, default=None)
+        sp.add_argument("--resume_pth", type=str, default=None)
+        sp.add_argument("--infer_pth", type=str, default=None)
+        sp.add_argument("--results_dir", type=str, default="results")
+        # train-config overrides (merged by config_reader semantics)
+        sp.add_argument("--batch_size", type=int, default=None)
+        sp.add_argument("--nb_epochs", type=int, default=None)
+        sp.add_argument("--nb_iters", type=int, default=None)
+        sp.add_argument("--lr", type=float, default=None)
+        sp.add_argument("--optim", type=str, default=None)
+        sp.add_argument("--nms", type=str, default=None)
+
+    for action in ("train", "val", "test", "infer"):
+        sp = sub.add_parser(action)
+        add_common(sp)
+
+    pp = sub.add_parser("preprocess")
+    pp.add_argument("task", choices=["chunking", "scaler"])
+    pp.add_argument("--dataset", type=str, required=True,
+                    choices=["DCASE2020", "DCASE2021", "DCASE2022", "all"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.action == "preprocess":
+        from .config import DATASET_PRESETS, DataConfig, _dataclass_from
+        from .data.chunking import preprocess_chunking
+        from .data.scaler import preprocess_scaler
+
+        datasets = (["DCASE2020", "DCASE2021", "DCASE2022"]
+                    if args.dataset == "all" else [args.dataset])
+        for ds in datasets:
+            dcfg = _dataclass_from(DataConfig, {**DATASET_PRESETS[ds], "dataset": ds})
+            if args.task == "chunking":
+                n = preprocess_chunking(dcfg)
+                print(f"{ds}: wrote {n} chunks")
+            else:
+                out = preprocess_scaler(dcfg)
+                print(f"{ds}: wrote {out}")
+        return 0
+
+    arg_dict = vars(args)
+    if args.action == "train":
+        from .engine.train import train_model
+
+        train_model(arg_dict, is_resume=args.resume_pth is not None)
+    else:
+        from .engine.evaluate import test_model
+
+        test_model(arg_dict, results_dir=args.results_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,277 @@
+"""Dataset + epoch sampling + batch assembly.
+
+Host side of the input pipeline, mirroring the reference ``Dataset``
+(``src/datasets.py:21-162``) with the TPU split of labor: the host reads
+wavs, applies rotation augmentation and encodes labels; feature
+extraction and SpecAugment run **on device** inside the jit'ed train step
+(the reference does everything per-sample on CPU DataLoader workers).
+
+Key reproduced semantics:
+
+* path layout: train -> ``foa_dev/dev-train-chunked_<W>s_<S>s``; val/test
+  -> ``foa_dev/dev-val`` / ``dev-test``; infer -> a user wav folder with
+  empty labels (datasets.py:35-58);
+* the epoch pool sampler draws ``batch_size * nb_iters`` files per epoch
+  **without replacement across epochs** from a persistent ``remaining``
+  pool that is serialized into checkpoints (datasets.py:67-99,
+  train.py:150,247);
+* int16 wav -> ``/32768 + 1e-8`` normalization (datasets.py:147).
+
+Batch assembly produces statically-shaped device-ready arrays:
+raw audio ``(B, N, C)`` + per-format labels (padded (M,7)+mask for
+adyolo); eval clips are padded into length buckets with valid-frame
+counts so XLA compiles one program per bucket instead of per clip.
+"""
+from __future__ import annotations
+
+import copy
+import os
+import random
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..ops.grid import GridGeometry
+from ..ops.rotation import RotationAug
+from . import io
+from .labels import encode_accdoa, encode_adpit, encode_adyolo, encode_seddoa, pad_yolo_targets
+
+__all__ = ["EpochPoolSampler", "SELDDataset", "TrainLoader", "EvalLoader", "bucket_samples"]
+
+
+class EpochPoolSampler:
+    """Across-epoch no-replacement sampler (datasets.py:67-99).
+
+    Uses python's ``random`` module so the host RNG state captured in
+    checkpoints covers it, like the reference.
+    """
+
+    def __init__(self, total_filelist: Sequence[str], nb_samples: int):
+        self.total = list(total_filelist)
+        self.nb_samples = nb_samples
+        self.remaining = list(self.total)
+
+    def sample_epoch(self) -> List[str]:
+        nb = self.nb_samples
+        if len(self.remaining) >= nb:
+            filelist = random.sample(self.remaining, nb)
+            for f in filelist:
+                self.remaining.remove(f)
+        elif not self.remaining:
+            self.remaining = copy.deepcopy(self.total)
+            filelist = random.sample(self.remaining, nb)
+            for f in filelist:
+                self.remaining.remove(f)
+        else:
+            random.shuffle(self.remaining)
+            pre_sampled = copy.deepcopy(self.remaining)
+            self.remaining = copy.deepcopy(self.total)
+            filelist = random.sample(self.remaining, nb - len(pre_sampled))
+            for f in filelist:
+                self.remaining.remove(f)
+            filelist.extend(pre_sampled)
+        return filelist
+
+    # checkpoint hooks (train.py:150, 247)
+    def get_remaining(self) -> List[str]:
+        return self.remaining
+
+    def set_remaining(self, remaining: List[str]) -> None:
+        self.remaining = list(remaining)
+
+
+class SELDDataset:
+    """Clip-level access: wav + label-dict -> (audio, encoded label)."""
+
+    def __init__(self, cfg: Config, set_type: str, is_valid: bool = False):
+        self.cfg = cfg
+        self.set_type = set_type
+        self.is_infer = set_type == "infer"
+        self.loss_nm = cfg.args.loss
+        d = cfg.data
+
+        if set_type == "train":
+            sub = f"dev-train-chunked_{d.chunk_window_s}s_{d.chunk_stride_s}s"
+            self.wav_pth = os.path.join(d.data_pth, "foa_dev", sub)
+            self.csv_pth = os.path.join(d.data_pth, "metadata_dev", sub)
+            self.total_filelist = io.list_clips(self.wav_pth)
+            self.sampler = EpochPoolSampler(
+                self.total_filelist, cfg.train.batch_size * cfg.train.nb_iters
+            )
+            self.filelist = self.sampler.sample_epoch()
+        elif set_type == "infer":
+            self.wav_pth = cfg.args.infer_pth
+            self.csv_pth = None
+            self.filelist = io.list_clips(self.wav_pth)
+            self.sampler = None
+        else:  # val / test
+            self.wav_pth = os.path.join(d.data_pth, "foa_dev", f"dev-{set_type}")
+            self.csv_pth = os.path.join(d.data_pth, "metadata_dev", f"dev-{set_type}")
+            self.filelist = io.list_clips(self.wav_pth)
+            self.sampler = None
+
+        self.rotation = RotationAug(cfg.aug.rotation_augment, is_valid or self.is_infer)
+        if self.loss_nm == "adyolo":
+            self.geom = GridGeometry(
+                tuple(cfg.train.grid_size), cfg.train.g_overlap, cfg.train.nb_anchors
+            )
+
+    def __len__(self) -> int:
+        return len(self.filelist)
+
+    def resample_epoch(self) -> None:
+        if self.sampler is not None:
+            self.filelist = self.sampler.sample_epoch()
+
+    def get_filelist(self) -> List[str]:
+        return self.filelist
+
+    def load_clip(self, name: str):
+        """Returns (audio float32 (N, C), label_dict, nb_label_frames)."""
+        audio = io.read_wav(os.path.join(self.wav_pth, name + ".wav"))
+        if self.is_infer:
+            label: io.LabelDict = {}
+        else:
+            label = io.read_label_csv(os.path.join(self.csv_pth, name + ".csv"))
+        audio, label = self.rotation(audio, label)
+        audio = io.normalize_audio(audio)
+        nb_label_frames = len(audio) // self.cfg.data.label_hop_len
+        return audio, label, nb_label_frames
+
+    def encode_label(self, label: io.LabelDict, nb_label_frames: int):
+        K = self.cfg.data.nb_classes
+        if self.loss_nm in ("seddoa", "masked-seddoa"):
+            return encode_seddoa(label, nb_label_frames, K)
+        if self.loss_nm == "accdoa":
+            return encode_accdoa(label, nb_label_frames, K)
+        if self.loss_nm == "adpit":
+            return encode_adpit(label, nb_label_frames, K)
+        if self.loss_nm == "adyolo":
+            return encode_adyolo(label, nb_label_frames, self.geom)
+        raise NotImplementedError(self.loss_nm)
+
+
+def _assemble_batch(dataset: SELDDataset, names: Sequence[str], max_targets: int):
+    """Stack a fixed-length training batch."""
+    audios, labels = [], []
+    for name in names:
+        audio, label, nb_frames = dataset.load_clip(name)
+        audios.append(audio)
+        labels.append(dataset.encode_label(label, nb_frames))
+    batch = {"audio": np.stack(audios, axis=0)}
+    if dataset.loss_nm == "adyolo":
+        targets, mask = pad_yolo_targets(labels, max_targets)
+        batch["targets"] = targets
+        batch["target_mask"] = mask
+    else:
+        batch["targets"] = np.stack(labels, axis=0).astype(np.float32)
+    return batch
+
+
+class TrainLoader:
+    """Epoch iterator over shuffled fixed-length chunk batches, with an
+    optional background prefetch thread (host analog of the reference's
+    ``DataLoader(num_workers=16, prefetch_factor=4)``, train.py:125-129 —
+    here the heavy feature work is on-device so one IO thread suffices)."""
+
+    def __init__(self, dataset: SELDDataset, cfg: Config):
+        self.dataset = dataset
+        self.batch_size = cfg.train.batch_size
+        self.max_targets = cfg.train.max_targets_per_clip * self.batch_size
+        self.prefetch = cfg.train.num_workers > 0
+        self.queue_depth = max(2, cfg.train.prefetch_factor)
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        names = list(self.dataset.get_filelist())
+        random.shuffle(names)  # DataLoader(shuffle=True) analog
+        batches = [
+            names[i : i + self.batch_size]
+            for i in range(0, len(names) - self.batch_size + 1, self.batch_size)
+        ]
+        if not self.prefetch:
+            for b in batches:
+                yield _assemble_batch(self.dataset, b, self.max_targets)
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.queue_depth)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(_assemble_batch(self.dataset, b, self.max_targets))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def bucket_samples(n_samples: int, hop: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket (in samples) holding ``n_samples``; buckets are
+    frame counts at the STFT hop.  Falls back to rounding up to the
+    largest bucket's granularity for very long clips."""
+    frames = n_samples // hop
+    for b in buckets:
+        if frames <= b:
+            return b * hop
+    step = buckets[-1]
+    return ((frames + step - 1) // step) * step * hop
+
+
+class EvalLoader:
+    """Per-clip eval iterator with length bucketing (batch_size=1 in the
+    reference, train.py:130-133).  Yields dicts with the padded audio, the
+    valid frame counts and the encoded label (for the loss report)."""
+
+    # frame-count buckets: 30 s .. 16 min at 25 ms hop, x2 steps
+    DEFAULT_BUCKETS = (800, 1200, 2400, 4800, 9600, 19200, 38400)
+
+    def __init__(self, dataset: SELDDataset, cfg: Config,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.buckets = tuple(buckets)
+        self.max_targets = cfg.train.max_targets_per_clip
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self):
+        hop = self.cfg.data.hop_length
+        for name in self.dataset.get_filelist():
+            audio, label, nb_label_frames = self.dataset.load_clip(name)
+            n_valid = len(audio)
+            n_bucket = bucket_samples(n_valid, hop, self.buckets)
+            padded = np.zeros((1, n_bucket, audio.shape[1]), np.float32)
+            padded[0, :n_valid] = audio
+            item = {
+                "name": name,
+                "audio": padded,
+                "valid_feat_frames": np.array([n_valid // hop], np.int32),
+                "nb_label_frames": nb_label_frames,
+            }
+            enc = self.dataset.encode_label(label, nb_label_frames)
+            if self.dataset.loss_nm == "adyolo":
+                targets, mask = pad_yolo_targets([enc], self.max_targets)
+                item["targets"] = targets
+                item["target_mask"] = mask
+            else:
+                # pad dense labels to the bucket's label-frame count
+                t_bucket = n_bucket // self.cfg.data.label_hop_len
+                pad_shape = (t_bucket,) + enc.shape[1:]
+                dense = np.zeros(pad_shape, np.float32)
+                dense[:nb_label_frames] = enc
+                item["targets"] = dense[None]
+            yield item

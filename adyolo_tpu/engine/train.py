@@ -1,0 +1,228 @@
+"""Training engine (reference ``src/train.py:65-290``).
+
+Epoch loop with the reference's full experiment protocol:
+
+* fresh runs freeze the merged config to ``results/<exp_id>/hyp_exp.yaml``
+  (train.py:112-115); resume reconstitutes it (train.py:81-82);
+* per-epoch: train over the epoch's sampled file list, then resample the
+  across-epoch pool (train.py:175);
+* every 10th epoch (unless ``--fix_thresh``) the confidence threshold is
+  re-arbitrated by scanning τ ∈ {0.1..0.9} for the best val SELD
+  (train.py:178-206), and the frozen config is rewritten;
+* val+test evaluation each epoch; best model keyed on val SELD
+  (train.py:222-238); full checkpoint (incl. RNG + sampler pool) each
+  epoch (train.py:241-248); console report + structured logging;
+* after the last epoch, a full ``test_model`` evaluation runs on the best
+  checkpoint (train.py:282-287).
+
+``--quick_test`` caps at 3 epochs x 5 batches (main.py:53, train.py:59,163).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config, save_config, flatten_config, with_conf_thresh
+from ..data.dataset import EvalLoader, SELDDataset, TrainLoader
+from ..metrics.seld import SegmentScorer
+from ..models.wrapper import build_model, make_criterion
+from ..ops.decode import PostProcessor
+from ..parallel.mesh import make_mesh
+from ..parallel.train_step import (build_eval_forward, build_train_step,
+                                   init_state, make_batch_placer)
+from ..utils.logging import JsonlLogger, NullLogger
+from ..utils.rng import get_rng_state, seed_init, set_rng_state
+from .checkpoint import load_checkpoint, save_checkpoint
+from .evaluate import make_frontend, test_epoch, test_model
+
+__all__ = ["train_model", "train_one_epoch"]
+
+
+def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool):
+    """Hot loop (train.py:40-62): place sharded batch -> fused step."""
+    total, n = 0.0, 0
+    for i, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        batch = place_batch(batch)
+        state, loss = train_step(state, batch, sub)
+        total += float(loss)
+        n += 1
+        if quick_test and i == 4:
+            break
+    return state, key, total / max(n, 1)
+
+
+def train_model(args: Dict, is_resume: bool = False,
+                cfg_overrides: Optional[Dict] = None) -> Config:
+    """args: CLI-style dict (see ``adyolo_tpu.cli``)."""
+    results_dir = args.get("results_dir", "results")
+
+    # ---- configuration / experiment identity ------------------------------
+    if is_resume:
+        assert args.get("resume_pth"), "--resume_pth required"
+        output_pth = os.path.join(results_dir, args["resume_pth"])
+        assert os.path.isdir(output_pth), output_pth
+        cfg = load_config(os.path.join(output_pth, "hyp_exp.yaml"))
+        assert cfg.args.exp_id == args["resume_pth"]
+        key = jax.random.PRNGKey(cfg.args.seed)  # replaced by ckpt restore below
+    else:
+        from ..config import build_config
+
+        cfg = build_config(args, train_overrides=(cfg_overrides or {}).get("train"),
+                           data_overrides=(cfg_overrides or {}).get("data"))
+        exp_id = args.get("exp_id") or ("local-" + datetime.now().strftime("%Y%m%d-%H%M%S"))
+        cfg = dataclasses.replace(cfg, args=dataclasses.replace(cfg.args, exp_id=exp_id))
+        output_pth = os.path.join(results_dir, exp_id)
+        os.makedirs(output_pth, exist_ok=True)
+        save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
+        key = seed_init(cfg.args.seed)
+
+    logger = (JsonlLogger(os.path.join(output_pth, "logs.jsonl"))
+              if cfg.args.logger else NullLogger())
+    logger.log_params(flatten_config(cfg))
+
+    # ---- data / model / step ----------------------------------------------
+    train_ds = SELDDataset(cfg, "train")
+    valid_ds = SELDDataset(cfg, "val", is_valid=True)
+    test_ds = SELDDataset(cfg, "test", is_valid=True)
+    train_loader = TrainLoader(train_ds, cfg)
+    valid_loader = EvalLoader(valid_ds, cfg)
+    test_loader = EvalLoader(test_ds, cfg)
+
+    frontend = make_frontend(cfg)
+    model = build_model(cfg)
+    criterion = make_criterion(cfg)
+    mesh = make_mesh(cfg.mesh, batch_size=cfg.train.batch_size)
+    train_step = build_train_step(cfg, model, frontend, mesh)
+    place_batch = make_batch_placer(cfg, mesh)
+    eval_fwd = build_eval_forward(cfg, model, frontend)
+    postprocessor = PostProcessor(cfg)
+
+    state = init_state(cfg, model, frontend, jax.random.PRNGKey(cfg.args.seed))
+
+    val_ref = os.path.join(cfg.data.data_pth, "metadata_dev", "dev-val")
+    test_ref = os.path.join(cfg.data.data_pth, "metadata_dev", "dev-test")
+    val_scorer = SegmentScorer(val_ref, nb_classes=cfg.data.nb_classes)
+    test_scorer = SegmentScorer(test_ref, nb_classes=cfg.data.nb_classes)
+
+    # ---- resume restore (train.py:145-159) --------------------------------
+    if is_resume:
+        state, host = load_checkpoint(os.path.join(output_pth, "model_ckpt.ckpt"), state)
+        train_ds.sampler.set_remaining(host["train_remaining_file"])
+        postprocessor.set_conf_thresh(host["best_log"]["best_conf_thresh"])
+        start_epoch = host["start_epoch_nb"]
+        best_log = host["best_log"]
+        key = set_rng_state(host["rng_state"])
+        cfg = with_conf_thresh(cfg, host["confidence_thresh"])
+        postprocessor.set_conf_thresh(host["confidence_thresh"])
+    else:
+        start_epoch = 1
+        best_log = {"best_epoch": -1, "best_val_SELD": 9999.0,
+                    "best_conf_thresh": float(cfg.train.conf_thresh)}
+
+    last_epoch = 3 if cfg.args.quick_test else cfg.train.nb_epochs
+
+    # ---- epoch loop --------------------------------------------------------
+    for epoch in range(start_epoch, last_epoch + 1):
+        print(f"\nnow training {epoch:03d}/{last_epoch:03d} epoch...")
+        t0 = time.time()
+        state, key, train_loss = train_one_epoch(
+            train_loader, train_step, state, key, place_batch, cfg.args.quick_test)
+        train_time = (time.time() - t0) / 60.0
+        train_ds.resample_epoch()
+
+        # dynamic conf-threshold arbitration (train.py:178-206)
+        if not cfg.args.fix_thresh and epoch % 10 == 0:
+            print("resetting confidence threshold per each 10th epoch:")
+            best_tau_seld, new_thresh = 9999.0, postprocessor.get_conf_thresh()
+            for tau in np.arange(0.1, 1.0, 0.1):
+                postprocessor.set_conf_thresh(float(tau))
+                test_epoch(valid_loader, state, eval_fwd, criterion, postprocessor,
+                           os.path.join(output_pth, "output_val"))
+                scores = val_scorer.get_SELD_Results(os.path.join(output_pth, "output_val"))
+                print(f"\tconf_thresh {tau:0.1f} - ER {scores[0]:0.4f}, "
+                      f"F {scores[1] * 100:0.2f}, LE {scores[2]:0.2f}, "
+                      f"LR {scores[3] * 100:0.2f}, SELD {scores[4]:0.4f}")
+                if scores[4] < best_tau_seld:
+                    best_tau_seld, new_thresh = scores[4], float(tau)
+            print(f"confidence threshold -> {new_thresh}")
+            postprocessor.set_conf_thresh(new_thresh)
+            cfg = with_conf_thresh(cfg, new_thresh)
+            save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
+            logger.log("logs/train/conf_thresh", new_thresh, epoch)
+
+        # val / test phase (train.py:209-219)
+        t0 = time.time()
+        val_loss = test_epoch(valid_loader, state, eval_fwd, criterion, postprocessor,
+                              os.path.join(output_pth, "output_val"))
+        val_time = (time.time() - t0) / 60.0
+        t0 = time.time()
+        test_loss = test_epoch(test_loader, state, eval_fwd, criterion, postprocessor,
+                               os.path.join(output_pth, "output_test"))
+        test_time = (time.time() - t0) / 60.0
+
+        val_s = val_scorer.get_SELD_Results(os.path.join(output_pth, "output_val"))
+        test_s = test_scorer.get_SELD_Results(os.path.join(output_pth, "output_test"))
+
+        # best tracking (train.py:222-238)
+        if val_s[4] <= best_log["best_val_SELD"]:
+            best_log = {
+                "best_epoch": epoch,
+                "best_val_loss": val_loss,
+                "best_val_ER": val_s[0], "best_val_F": val_s[1],
+                "best_val_LE": val_s[2], "best_val_LR": val_s[3],
+                "best_val_SELD": val_s[4],
+                "best_test_loss": test_loss,
+                "best_test_ER": test_s[0], "best_test_F": test_s[1],
+                "best_test_LE": test_s[2], "best_test_LR": test_s[3],
+                "best_test_SELD": test_s[4],
+                "best_conf_thresh": float(postprocessor.get_conf_thresh()),
+            }
+            save_checkpoint(
+                os.path.join(output_pth, "model_best.ckpt"), state,
+                {"epoch_nb": epoch,
+                 "confidence_thresh": best_log["best_conf_thresh"]},
+            )
+
+        # rolling checkpoint (train.py:241-248)
+        save_checkpoint(
+            os.path.join(output_pth, "model_ckpt.ckpt"), state,
+            {"start_epoch_nb": epoch + 1,
+             "confidence_thresh": float(postprocessor.get_conf_thresh()),
+             "rng_state": get_rng_state(key),
+             "best_log": best_log,
+             "train_remaining_file": train_ds.sampler.get_remaining()},
+        )
+
+        # console report (train.py:251-261)
+        print(f"{epoch:03d} epoch result... (conf_thresh: "
+              f"{postprocessor.get_conf_thresh():0.2f})")
+        print(f"train/valid/test time: {train_time:0.2f}/{val_time:0.2f}/"
+              f"{test_time:0.2f} min, loss: {train_loss:0.4f}/{val_loss:0.4f}/{test_loss:0.4f}")
+        print(f"valid score: ER: {val_s[0]:0.4f}, F: {val_s[1] * 100:0.2f}, "
+              f"LE: {val_s[2]:0.2f}, LR: {val_s[3] * 100:0.2f}, SELD: {val_s[4]:0.4f}")
+        print(f" test score: ER: {test_s[0]:0.4f}, F: {test_s[1] * 100:0.2f}, "
+              f"LE: {test_s[2]:0.2f}, LR: {test_s[3] * 100:0.2f}, SELD: {test_s[4]:0.4f}")
+        print(f"\tbest epoch: {best_log['best_epoch']:03d} "
+              f"(conf_thresh {best_log['best_conf_thresh']:0.2f}, "
+              f"val SELD {best_log['best_val_SELD']:0.4f})")
+
+        for split, loss_v, s in (("train", train_loss, None),
+                                 ("val", val_loss, val_s), ("test", test_loss, test_s)):
+            logger.log(f"logs/{split}/loss", loss_v, epoch)
+            if s is not None:
+                for nm, v in zip(("ER", "F1", "LE", "LR", "SELD"),
+                                 (s[0], s[1] * 100, s[2], s[3] * 100, s[4])):
+                    logger.log(f"logs/{split}/{nm}", float(v), epoch)
+
+    print("\n===== TRAINING ENDED; FINAL TEST WITH BEST CHECKPOINT =====\n")
+    test_model({"action": "test", "eval_pth": cfg.args.exp_id}, results_dir=results_dir)
+    logger.stop()
+    return cfg

@@ -1,0 +1,162 @@
+"""The fused, sharded training/eval step builders.
+
+One jit program covers the whole per-batch pipeline the reference spreads
+over DataLoader workers + GPU (``src/train.py:40-62``): on-device feature
+extraction (STFT/mel/IV), SpecAugment, encoder/head forward, loss,
+backward and the optimizer update — XLA fuses the elementwise stages and
+overlaps HBM traffic.
+
+Sharding: inputs arrive batch-sharded over the mesh's ``data`` axis,
+parameters replicated; XLA inserts the gradient all-reduce.  The same
+builders serve the single-chip case (1-device mesh) with zero overhead.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..ops.features import FeatureFrontend
+from ..ops.specaug import spec_augment
+from ..models.wrapper import build_model, make_criterion
+
+__all__ = ["TrainState", "make_optimizer", "build_train_step", "build_eval_forward",
+           "init_state", "batch_shardings_for", "make_batch_placer"]
+
+
+def batch_shardings_for(cfg: Config, mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Sharding layout for a host batch: audio (and dense targets) are
+    batch-sharded over the data axis; the padded AD-YOLO target rows are a
+    flat batch-spanning list and stay replicated (rows address grid cells
+    by their batch coordinate, so replicated evaluation is exact)."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    if cfg.args.loss == "adyolo":
+        return {"audio": data, "targets": repl, "target_mask": repl}
+    return {"audio": data, "targets": data}
+
+
+def make_batch_placer(cfg: Config, mesh: Optional[Mesh]):
+    """Returns ``place(batch)`` pinning each leaf to its step sharding."""
+    if mesh is None:
+        return lambda batch: batch
+    sh = batch_shardings_for(cfg, mesh)
+
+    def place(batch):
+        return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+
+    return place
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam/AdamW/SGD selector (reference train.py:29-37)."""
+    name = cfg.train.optim
+    lr = cfg.train.lr
+    wd = cfg.train.weight_decay
+    if name == "Adam":
+        # torch Adam applies weight_decay as L2 into the gradient
+        tx = optax.adam(lr)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
+        return tx
+    if name == "AdamW":
+        return optax.adamw(lr, weight_decay=wd)
+    if name == "SGD":
+        tx = optax.sgd(lr)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), optax.sgd(lr))
+        return tx
+    raise NotImplementedError(name)
+
+
+def init_state(cfg: Config, model, frontend: FeatureFrontend, rng_key) -> TrainState:
+    """Initialize params/batch_stats/optimizer from one dummy batch shape."""
+    d = cfg.data
+    feat_shape = (1, d.chunk_feat_frames, d.mel_bins, d.nb_feature_channels)
+    variables = model.init(rng_key, jnp.zeros(feat_shape, jnp.float32), False)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
+                     mesh: Optional[Mesh] = None) -> Callable:
+    """Returns ``train_step(state, batch, key) -> (state, loss)`` (jit).
+
+    batch: {'audio': (B, N, C), 'targets': ..., 'target_mask'?: ...}
+    """
+    criterion = make_criterion(cfg)
+    tx = make_optimizer(cfg)
+    is_adyolo = cfg.args.loss == "adyolo"
+    use_specaug = cfg.aug.spec_augment
+    blocks = (4, d_iv) if (d_iv := cfg.data.nb_feature_channels - 4) else (4,)
+    aug = cfg.aug
+
+    def step_fn(state: TrainState, batch: Dict, key) -> Tuple[TrainState, jax.Array]:
+        k_aug, k_drop = jax.random.split(key)
+        feat = frontend._forward(batch["audio"], None,
+                                 frontend._mel_mean, frontend._mel_std,
+                                 frontend._iv_mean, frontend._iv_std)
+        if use_specaug:
+            feat = spec_augment(feat, k_aug, blocks,
+                                aug.spec_augment_time_mask_param,
+                                aug.spec_augment_freq_mask_param,
+                                aug.spec_augment_thresh)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feat, True, mutable=["batch_stats"], rngs={"dropout": k_drop},
+            )
+            loss = criterion(out, batch["targets"], batch.get("target_mask"))
+            return jnp.squeeze(loss), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    batch_shardings = batch_shardings_for(cfg, mesh)
+    state_sh = TrainState(repl, repl, repl, repl)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_shardings, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def build_eval_forward(cfg: Config, model, frontend: FeatureFrontend) -> Callable:
+    """Returns ``eval_forward(params, batch_stats, audio, valid_feat_frames)
+    -> (output, feat)`` (jit; one compile per audio-length bucket)."""
+
+    @jax.jit
+    def fwd(params, batch_stats, audio, valid_feat_frames):
+        feat = frontend._forward(audio, valid_feat_frames,
+                                 frontend._mel_mean, frontend._mel_std,
+                                 frontend._iv_mean, frontend._iv_std)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          feat, False, feat_lengths=valid_feat_frames)
+        return out
+
+    return fwd

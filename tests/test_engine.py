@@ -1,0 +1,105 @@
+"""End-to-end engine tests on synthetic data (CPU, small shapes)."""
+import os
+
+import numpy as np
+import pytest
+
+from adyolo_tpu.engine.train import train_model
+from adyolo_tpu.data.dataset import EpochPoolSampler, bucket_samples
+
+from tests.synth_data import make_synth_dataset
+
+
+def test_epoch_pool_sampler_semantics():
+    import random
+
+    random.seed(0)
+    total = [f"f{i}" for i in range(10)]
+    s = EpochPoolSampler(total, nb_samples=4)
+    e1 = s.sample_epoch()
+    assert len(e1) == 4 and len(s.get_remaining()) == 6
+    e2 = s.sample_epoch()
+    assert set(e1).isdisjoint(e2)  # no replacement across epochs
+    e3 = s.sample_epoch()  # pool exhausted mid-way: wraps, keeps the rest
+    assert len(e3) == 4
+    assert set(e2).isdisjoint(set(e3) - set(total))  # sanity
+    # serialization round trip
+    rem = s.get_remaining()
+    s2 = EpochPoolSampler(total, 4)
+    s2.set_remaining(rem)
+    assert s2.get_remaining() == rem
+
+
+def test_bucket_samples():
+    assert bucket_samples(24000 * 20, 600, (800, 1200, 2400)) == 800 * 600
+    assert bucket_samples(24000 * 25, 600, (800, 1200, 2400)) == 1200 * 600
+    assert bucket_samples(24000 * 200, 600, (800, 1200, 2400)) == 9600 * 600  # overflow rounds up
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    return make_synth_dataset(str(root))
+
+
+def _train_args(root, results_dir, **kw):
+    args = {
+        "action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
+        "loss": "adyolo", "seed": 100, "augment": True, "fix_thresh": False,
+        "logger": True, "quick_test": True, "eval_pth": None, "resume_pth": None,
+        "infer_pth": None, "results_dir": results_dir,
+        "batch_size": 2, "nb_iters": 2, "exp_id": kw.pop("exp_id", "exp-test"),
+    }
+    args.update(kw)
+    return args
+
+
+@pytest.mark.slow
+def test_quick_train_end_to_end(synth_root, tmp_path):
+    """The reference's --quick_test smoke run (SURVEY.md §4), scaled to CPU:
+    3 epochs x 2 iters on synthetic data + final test_model sweep."""
+    results = str(tmp_path / "results")
+    cfg = train_model(
+        _train_args(synth_root, results),
+        cfg_overrides={"data": {"data_pth": synth_root,
+                                "name_pth": os.path.join(synth_root, "classes.txt")},
+                       "train": {"max_targets_per_clip": 512}},
+    )
+    exp = os.path.join(results, "exp-test")
+    assert os.path.isfile(os.path.join(exp, "hyp_exp.yaml"))
+    assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
+    assert os.path.isfile(os.path.join(exp, "model_ckpt.ckpt"))
+    assert os.path.isfile(os.path.join(exp, "logs.jsonl"))
+    # eval CSVs were produced for every val/test clip
+    assert len(os.listdir(os.path.join(exp, "output_val"))) == 2
+    assert len(os.listdir(os.path.join(exp, "output_eval"))) == 2
+
+
+@pytest.mark.slow
+def test_resume_continues(synth_root, tmp_path):
+    """Interrupted run resumes from model_ckpt.ckpt with sampler pool and
+    RNG restored (train.py:145-159 semantics)."""
+    results = str(tmp_path / "results")
+    overrides = {"data": {"data_pth": synth_root,
+                          "name_pth": os.path.join(synth_root, "classes.txt")},
+                 "train": {"max_targets_per_clip": 512, "nb_epochs": 2}}
+    train_model(_train_args(synth_root, results, quick_test=False, exp_id="exp-r",
+                            nb_epochs=1), cfg_overrides=overrides)
+    # resume for one more epoch
+    args = _train_args(synth_root, results, quick_test=False, exp_id="exp-r")
+    args["resume_pth"] = "exp-r"
+    import yaml
+
+    # bump nb_epochs in the frozen config so resume runs epoch 2
+    fp = os.path.join(results, "exp-r", "hyp_exp.yaml")
+    with open(fp) as f:
+        frozen = yaml.safe_load(f)
+    frozen["train"]["nb_epochs"] = 2
+    with open(fp, "w") as f:
+        yaml.safe_dump(frozen, f, sort_keys=False)
+    train_model(args, is_resume=True)
+    import pickle
+
+    with open(os.path.join(results, "exp-r", "model_ckpt.ckpt"), "rb") as f:
+        host = pickle.load(f)["host"]
+    assert host["start_epoch_nb"] == 3
