@@ -1,0 +1,220 @@
+"""ResNet34 + Conformer SELD encoder (flax.linen).
+
+Re-implementation of the reference's second encoder
+(``src/models/backbones/resnet_conformer.py:342-447``):
+
+* torchvision-style ResNet34 stem/stages with **frequency-only striding**
+  (stride (1, 2) everywhere): 7x7 conv -> ReLU -> BN -> 3x3 maxpool, then
+  stages of [3, 4, 5, 3] BasicBlocks with channels [64, 128, 256, 512]
+  (the reference instantiates 5 blocks in stage 3, not torchvision's 6 —
+  resnet_conformer.py:373-384); F: 64 -> 1, T unchanged;
+* bottleneck Linear 512 -> 256 (no bias) (:396);
+* 8 Conformer blocks with half-step residual FFNs, 4-head MHSA, GLU +
+  depthwise conv module with dilation ``2^i`` (:215-336, 399-415);
+* final time pooling by 4 + LayerNorm (:417, 285-297 — the reference's
+  ``PoolingModule`` adds two identical average pools ("max" is a second
+  AvgPool1d, a latent bug); since LayerNorm is scale-invariant the sum is
+  numerically LN(avg), which is what we compute).
+
+Masked variable-length support mirrors the SE-ResNet34 encoder: padded
+frames are re-zeroed after each conv/norm, attention keys at padded
+positions are masked to -inf, and pooling masks downsample with the data.
+Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import apply_frame_mask, pool_mask
+
+__all__ = ["ResNetConformer"]
+
+
+def _bn(train, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class TVBasicBlock(nn.Module):
+    """torchvision BasicBlock: conv3x3(stride)-BN-ReLU-conv3x3-BN
+    (+1x1 downsample) -ReLU, stride on the frequency axis only."""
+
+    planes: int
+    f_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool, frame_mask=None):
+        residual = x
+        stride = (1, self.f_stride)
+        out = nn.Conv(self.planes, (3, 3), strides=stride, padding=1,
+                      use_bias=False, name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = apply_frame_mask(out, frame_mask)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        out = apply_frame_mask(out, frame_mask)
+        if self.f_stride != 1 or x.shape[-1] != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), strides=stride,
+                               use_bias=False, name="down_conv")(x)
+            residual = _bn(train, "down_bn")(residual)
+            residual = apply_frame_mask(residual, frame_mask)
+        return apply_frame_mask(nn.relu(out + residual), frame_mask)
+
+
+class FeedForwardModule(nn.Module):
+    """LN -> Linear(d->4d) -> Swish -> Dropout -> Linear(4d->d) -> Dropout
+    (resnet_conformer.py:181-212)."""
+
+    dim: int
+    expansion: int = 4
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.LayerNorm(epsilon=1e-5)(x)
+        x = nn.Dense(self.dim * self.expansion,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        x = x * jax.nn.sigmoid(x)  # swish
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform())(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class MHSA(nn.Module):
+    """4-head self-attention with the reference's scaling convention
+    (resnet_conformer.py:25-85); padded key positions masked out."""
+
+    dim: int
+    heads: int = 4
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool, frame_mask=None):
+        B, T, D = x.shape
+        H = self.heads
+        dh = D // H
+        q = nn.Dense(D, name="query")(x).reshape(B, T, H, dh)
+        k = nn.Dense(D, name="key")(x).reshape(B, T, H, dh)
+        v = nn.Dense(D, name="value")(x).reshape(B, T, H, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
+        if frame_mask is not None:
+            neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+            scores = jnp.where(frame_mask[:, None, None, :], scores, neg)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, D)
+        return nn.Dense(D, name="linear")(ctx)
+
+
+class ConformerConvModule(nn.Module):
+    """LN -> pointwise(d->2d) -> BN -> GLU -> depthwise(k=3, dilation) ->
+    BN -> Swish -> pointwise(d->d) -> Dropout (resnet_conformer.py:154-178)."""
+
+    dim: int
+    dilation: int = 1
+    kernel: int = 3
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool, frame_mask=None):
+        x = nn.LayerNorm(epsilon=1e-5)(x)
+        x = nn.Dense(2 * self.dim, name="pw1")(x)  # pointwise == Dense over C
+        x = _bn(train, "bn1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)  # GLU
+        x = apply_frame_mask(x, frame_mask)
+        # depthwise dilated conv, written as k shifted multiply-adds: a
+        # grouped Conv with feature_group_count=C lowers catastrophically
+        # on XLA:TPU (measured ~400x slower); the explicit form is pure
+        # VPU elementwise work and fuses with the surrounding ops.
+        pad = (self.kernel - 1) // 2 * self.dilation
+        w = self.param("dw_kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.dim))
+        b = self.param("dw_bias", nn.initializers.zeros, (self.dim,))
+        T = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        x = sum(xp[:, k * self.dilation : k * self.dilation + T] * w[k]
+                for k in range(self.kernel)) + b
+        x = _bn(train, "bn2")(x)
+        x = x * jax.nn.sigmoid(x)  # swish
+        x = nn.Dense(self.dim, name="pw2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return apply_frame_mask(x, frame_mask)
+
+
+class ConformerBlock(nn.Module):
+    """FFN(x0.5) -> MHSA(x0.5) -> ConvModule(x1) -> FFN(x0.5) -> LN
+    (resnet_conformer.py:215-282; half_step_residual=True)."""
+
+    dim: int
+    dilation: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool, frame_mask=None):
+        x = x + 0.5 * FeedForwardModule(self.dim, name="ffn1")(x, train)
+        h = nn.LayerNorm(epsilon=1e-5, name="mhsa_ln")(x)
+        h = MHSA(self.dim, name="mhsa")(h, train, frame_mask)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + 0.5 * h
+        x = x + ConformerConvModule(self.dim, self.dilation, name="conv")(
+            x, train, frame_mask)
+        x = x + 0.5 * FeedForwardModule(self.dim, name="ffn2")(x, train)
+        return nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
+
+
+class ResNetConformer(nn.Module):
+    emb_dim: int = 256
+    num_layers: int = 8
+    time_pool: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
+        frame_mask = None
+        if feat_lengths is not None:
+            t = jnp.arange(x.shape[1])[None, :]
+            frame_mask = t < feat_lengths[:, None]
+            x = apply_frame_mask(x, frame_mask)
+
+        # stem (resnet_conformer.py:347-350, 423-426): conv->ReLU->BN->maxpool
+        x = nn.Conv(64, (7, 7), strides=(1, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = _bn(train, "bn1")(x)
+        if frame_mask is not None:
+            # padded frames must behave like maxpool's implicit -inf padding,
+            # not like zero activations, for exact boundary parity
+            neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+            x = jnp.where(frame_mask[:, :, None, None], x, neg)
+        x = nn.max_pool(x, (3, 3), strides=(1, 2), padding=((1, 1), (1, 1)))
+        x = apply_frame_mask(x, frame_mask)
+
+        # stages: 3/4/5/3 blocks, freq-only stride 2 at each stage entry
+        for stage, (n_blocks, planes) in enumerate(
+                zip((3, 4, 5, 3), (64, 128, 256, 512))):
+            for b in range(n_blocks):
+                x = TVBasicBlock(planes, f_stride=2 if b == 0 else 1,
+                                 name=f"layer{stage + 1}_block{b}")(
+                    x, train, frame_mask)
+        # (B, T, F=1, 512) -> (B, T, 512)
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+
+        x = nn.Dense(self.emb_dim, use_bias=False, name="bottleneck")(x)
+
+        for i in range(self.num_layers):
+            x = ConformerBlock(self.emb_dim, dilation=2 ** i,
+                               name=f"conformer{i}")(x, train, frame_mask)
+
+        # time pooling by 4 + LN (PoolingModule; sum of two identical avg
+        # pools == 2*avg, invariant under the following LayerNorm)
+        B, T, D = x.shape
+        x = x.reshape(B, T // self.time_pool, self.time_pool, D).mean(axis=2)
+        x = nn.LayerNorm(epsilon=1e-5, name="pool_norm")(x)
+        if frame_mask is not None:
+            x = apply_frame_mask(x, pool_mask(frame_mask, self.time_pool))
+        return x

@@ -43,8 +43,8 @@ def batch_shardings_for(cfg: Config, mesh: Mesh) -> Dict[str, NamedSharding]:
 
 def make_batch_placer(cfg: Config, mesh: Optional[Mesh]):
     """Returns ``place(batch)`` pinning each leaf to its step sharding."""
-    if mesh is None:
-        return lambda batch: batch
+    if mesh is None or mesh.devices.size == 1:
+        return lambda batch: jax.tree.map(jax.device_put, batch)
     sh = batch_shardings_for(cfg, mesh)
 
     def place(batch):
@@ -132,7 +132,9 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
 
-    if mesh is None:
+    if mesh is None or mesh.devices.size == 1:
+        # single-device fast path: skip GSPMD sharding annotations (the
+        # partitioner adds minutes of compile time for zero benefit)
         return jax.jit(step_fn, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
@@ -148,15 +150,22 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
 
 def build_eval_forward(cfg: Config, model, frontend: FeatureFrontend) -> Callable:
     """Returns ``eval_forward(params, batch_stats, audio, valid_feat_frames)
-    -> (output, feat)`` (jit; one compile per audio-length bucket)."""
+    -> output`` (jit; one compile per audio-length bucket).
+
+    Eval matmuls run at float32 precision (TPU default is bf16-input
+    passes): the reference evaluates in f32 on GPU, and metric parity plus
+    bucket-vs-exact-length consistency depend on the extra mantissa bits.
+    Training keeps the fast default — SGD noise dwarfs bf16 rounding.
+    """
 
     @jax.jit
     def fwd(params, batch_stats, audio, valid_feat_frames):
-        feat = frontend._forward(audio, valid_feat_frames,
-                                 frontend._mel_mean, frontend._mel_std,
-                                 frontend._iv_mean, frontend._iv_std)
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          feat, False, feat_lengths=valid_feat_frames)
+        with jax.default_matmul_precision("float32"):
+            feat = frontend._forward(audio, valid_feat_frames,
+                                     frontend._mel_mean, frontend._mel_std,
+                                     frontend._iv_mean, frontend._iv_std)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              feat, False, feat_lengths=valid_feat_frames)
         return out
 
     return fwd

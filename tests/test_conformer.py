@@ -1,0 +1,60 @@
+"""ResNet-Conformer encoder tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adyolo_tpu.models.resnet_conformer import ResNetConformer
+from adyolo_tpu.models.wrapper import SELDModel
+
+
+@pytest.fixture(scope="module")
+def enc():
+    model = ResNetConformer()
+    x = jnp.zeros((1, 16, 64, 7))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    return model, variables
+
+
+def test_shapes(enc):
+    model, variables = enc
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 64, 7)), jnp.float32)
+    y = model.apply(variables, x, False)
+    assert y.shape == (2, 4, 256)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_varlen_masking_matches_exact(enc):
+    model, variables = enc
+    rng = np.random.default_rng(1)
+    T_short, T_long = 8, 16
+    xs = rng.standard_normal((1, T_short, 64, 7)).astype(np.float32)
+    xp = np.zeros((1, T_long, 64, 7), np.float32)
+    xp[:, :T_short] = xs
+    exact = model.apply(variables, jnp.asarray(xs), False,
+                        feat_lengths=jnp.array([T_short]))
+    padded = model.apply(variables, jnp.asarray(xp), False,
+                         feat_lengths=jnp.array([T_short]))
+    np.testing.assert_allclose(np.asarray(padded)[:, : T_short // 4],
+                               np.asarray(exact), atol=3e-5)
+
+
+def test_full_model_with_conformer_encoder():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 16, 64, 7)), jnp.float32)
+    m = SELDModel(encoder_nm="resnet-conformer", loss_nm="adyolo", nb_classes=13)
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 4, 8 * 4 * 5 * 16)
+    # train mode w/ dropout + BN mutation works
+    y2, mut = m.apply(v, x, True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "batch_stats" in mut
+
+
+def test_param_scale():
+    """The conformer encoder should be in the tens-of-millions range
+    (ResNet34 ~21M + 8 conformer blocks)."""
+    model = ResNetConformer()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 7)), False)
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert 20e6 < n < 60e6, n
