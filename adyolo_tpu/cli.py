@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--resume_pth", type=str, default=None)
         sp.add_argument("--infer_pth", type=str, default=None)
         sp.add_argument("--results_dir", type=str, default="results")
+        sp.add_argument("--exp_id", type=str, default=None,
+                        help="experiment id (default: local-<timestamp>)")
         # train-config overrides (merged by config_reader semantics)
         sp.add_argument("--batch_size", type=int, default=None)
         sp.add_argument("--nb_epochs", type=int, default=None)
@@ -55,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.action == "preprocess":
         from .config import DATASET_PRESETS, DataConfig, _dataclass_from

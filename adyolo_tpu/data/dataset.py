@@ -129,15 +129,23 @@ class SELDDataset:
     def get_filelist(self) -> List[str]:
         return self.filelist
 
-    def load_clip(self, name: str):
-        """Returns (audio float32 (N, C), label_dict, nb_label_frames)."""
+    def load_clip(self, name: str, normalize: bool = True):
+        """Returns (audio (N, C), label_dict, nb_label_frames).
+
+        ``normalize=False`` keeps int16 samples so the train pipeline can
+        ship half the bytes to the device and fuse the ``/32768 + 1e-8``
+        normalization (src/datasets.py:147) into the feature kernel —
+        numerically identical because rotation only flips signs/swaps
+        channels before normalization, exactly like the reference order.
+        """
         audio = io.read_wav(os.path.join(self.wav_pth, name + ".wav"))
         if self.is_infer:
             label: io.LabelDict = {}
         else:
             label = io.read_label_csv(os.path.join(self.csv_pth, name + ".csv"))
         audio, label = self.rotation(audio, label)
-        audio = io.normalize_audio(audio)
+        if normalize or audio.dtype != np.int16:
+            audio = io.normalize_audio(audio)
         nb_label_frames = len(audio) // self.cfg.data.label_hop_len
         return audio, label, nb_label_frames
 
@@ -155,10 +163,11 @@ class SELDDataset:
 
 
 def _assemble_batch(dataset: SELDDataset, names: Sequence[str], max_targets: int):
-    """Stack a fixed-length training batch."""
+    """Stack a fixed-length training batch (audio stays int16 when the
+    source wavs are int16; the train step normalizes on device)."""
     audios, labels = [], []
     for name in names:
-        audio, label, nb_frames = dataset.load_clip(name)
+        audio, label, nb_frames = dataset.load_clip(name, normalize=False)
         audios.append(audio)
         labels.append(dataset.encode_label(label, nb_frames))
     batch = {"audio": np.stack(audios, axis=0)}

@@ -47,8 +47,11 @@ def make_frontend(cfg: Config) -> FeatureFrontend:
     if os.path.isfile(pkl):
         scaler = Scaler.from_pickle(pkl)
     else:
+        import sys
+
         print(f"[adyolo_tpu] WARNING: no scaler stats at {pkl}; "
-              "using identity normalization (run `preprocess scaler`).")
+              "using identity normalization (run `preprocess scaler`).",
+              file=sys.stderr)
         scaler = identity_scaler(cfg.data.mel_bins)
     return FeatureFrontend(cfg.data, scaler)
 
@@ -116,7 +119,7 @@ def test_model(cfg_args: Dict, results_dir: str = "results") -> Dict:
     dataset = SELDDataset(cfg, action, is_valid=True)
     loader = EvalLoader(dataset, cfg)
     frontend = make_frontend(cfg)
-    model = build_model(cfg)
+    model = build_model(cfg, compute_dtype="float32")  # eval always f32
     import jax
 
     template = init_state(cfg, model, frontend, jax.random.PRNGKey(0))

@@ -97,12 +97,13 @@ def train_model(args: Dict, is_resume: bool = False,
     test_loader = EvalLoader(test_ds, cfg)
 
     frontend = make_frontend(cfg)
-    model = build_model(cfg)
+    model = build_model(cfg)  # training compute dtype (cfg.train.compute_dtype)
+    eval_model = build_model(cfg, compute_dtype="float32")  # eval parity
     criterion = make_criterion(cfg)
     mesh = make_mesh(cfg.mesh, batch_size=cfg.train.batch_size)
     train_step = build_train_step(cfg, model, frontend, mesh)
     place_batch = make_batch_placer(cfg, mesh)
-    eval_fwd = build_eval_forward(cfg, model, frontend)
+    eval_fwd = build_eval_forward(cfg, eval_model, frontend)
     postprocessor = PostProcessor(cfg)
 
     state = init_state(cfg, model, frontend, jax.random.PRNGKey(cfg.args.seed))

@@ -18,7 +18,7 @@ SELayer, SelfAttentionPooling) and torch ``nn.GRU`` used at
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,7 @@ class SELayer(nn.Module):
     The squeeze is a (masked) global mean over (T, F)."""
 
     reduction: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, frame_mask=None):
@@ -66,9 +67,9 @@ class SELayer(nn.Module):
         else:
             m = frame_mask[:, :, None, None].astype(x.dtype)
             y = (x * m).sum(axis=(1, 2)) / (m.sum(axis=(1, 2)) * F + 1e-12)
-        y = nn.Dense(C // self.reduction)(y)
+        y = nn.Dense(C // self.reduction, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Dense(C)(y)
+        y = nn.Dense(C, dtype=self.dtype)(y)
         y = jax.nn.sigmoid(y)
         return x * y[:, None, None, :]
 
@@ -85,6 +86,7 @@ class SEBasicBlock(nn.Module):
     planes: int
     pool: Optional[Tuple[int, int]] = None
     reduction: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
@@ -95,22 +97,25 @@ class SEBasicBlock(nn.Module):
         residual = x
         in_ch = x.shape[-1]
 
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         out = nn.relu(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="bn1")(out)
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
         out = apply_frame_mask(out, frame_mask)
 
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="bn2")(out)
+                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
         out = apply_frame_mask(out, frame_mask)
-        out = SELayer(self.reduction, name="se")(out, frame_mask)
+        out = SELayer(self.reduction, dtype=self.dtype, name="se")(out, frame_mask)
 
         if in_ch != self.planes:
-            residual = nn.Conv(self.planes, (1, 1), use_bias=False, name="down_conv")(residual)
+            residual = nn.Conv(self.planes, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="down_conv")(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="down_bn")(residual)
+                                    epsilon=1e-5, dtype=self.dtype, name="down_bn")(residual)
             residual = apply_frame_mask(residual, frame_mask)
 
         out = nn.relu(out + residual)

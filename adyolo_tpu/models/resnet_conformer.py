@@ -23,7 +23,7 @@ Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +34,9 @@ from .layers import apply_frame_mask, pool_mask
 __all__ = ["ResNetConformer"]
 
 
-def _bn(train, name):
+def _bn(train, name, dtype=jnp.float32):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 class TVBasicBlock(nn.Module):
@@ -45,23 +45,25 @@ class TVBasicBlock(nn.Module):
 
     planes: int
     f_stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
         residual = x
         stride = (1, self.f_stride)
         out = nn.Conv(self.planes, (3, 3), strides=stride, padding=1,
-                      use_bias=False, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+                      use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = apply_frame_mask(out, frame_mask)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = _bn(train, "bn2", self.dtype)(out)
         out = apply_frame_mask(out, frame_mask)
         if self.f_stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1), strides=stride,
-                               use_bias=False, name="down_conv")(x)
-            residual = _bn(train, "down_bn")(residual)
+                               use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            residual = _bn(train, "down_bn", self.dtype)(residual)
             residual = apply_frame_mask(residual, frame_mask)
         return apply_frame_mask(nn.relu(out + residual), frame_mask)
 
@@ -172,6 +174,7 @@ class ResNetConformer(nn.Module):
     emb_dim: int = 256
     num_layers: int = 8
     time_pool: int = 4
+    dtype: Any = jnp.float32  # resnet-stage dtype; conformer blocks stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
@@ -182,10 +185,11 @@ class ResNetConformer(nn.Module):
             x = apply_frame_mask(x, frame_mask)
 
         # stem (resnet_conformer.py:347-350, 423-426): conv->ReLU->BN->maxpool
+        x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(1, 2), padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
-        x = _bn(train, "bn1")(x)
+        x = _bn(train, "bn1", self.dtype)(x)
         if frame_mask is not None:
             # padded frames must behave like maxpool's implicit -inf padding,
             # not like zero activations, for exact boundary parity
@@ -199,12 +203,14 @@ class ResNetConformer(nn.Module):
                 zip((3, 4, 5, 3), (64, 128, 256, 512))):
             for b in range(n_blocks):
                 x = TVBasicBlock(planes, f_stride=2 if b == 0 else 1,
+                                 dtype=self.dtype,
                                  name=f"layer{stage + 1}_block{b}")(
                     x, train, frame_mask)
         # (B, T, F=1, 512) -> (B, T, 512)
         x = x.reshape(x.shape[0], x.shape[1], -1)
 
-        x = nn.Dense(self.emb_dim, use_bias=False, name="bottleneck")(x)
+        x = nn.Dense(self.emb_dim, use_bias=False, name="bottleneck")(
+            x.astype(jnp.float32))
 
         for i in range(self.num_layers):
             x = ConformerBlock(self.emb_dim, dilation=2 ** i,

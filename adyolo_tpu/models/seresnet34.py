@@ -15,7 +15,7 @@ Input here is channel-last (B, T, F, C); shapes for the DCASE geometry:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ _POOLS = (None, (2, 2), (2, 2), None)
 class SEResNet34(nn.Module):
     enc_out_dim: int = 256
     time_pool: int = 4  # total time downsampling (matches label rate: 800->200)
+    dtype: Any = jnp.float32  # conv-stack compute dtype (bf16 for training)
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
@@ -49,10 +50,12 @@ class SEResNet34(nn.Module):
             frame_mask = t < feat_lengths[:, None]
             x = apply_frame_mask(x, frame_mask)
 
-        x = nn.Conv(_FILTERS[0], (3, 3), padding=1, use_bias=True, name="conv1")(x)
+        x = x.astype(self.dtype)
+        x = nn.Conv(_FILTERS[0], (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = apply_frame_mask(x, frame_mask)
 
         for stage, (n_blocks, planes, pool) in enumerate(zip(_LAYERS, _FILTERS, _POOLS)):
@@ -60,10 +63,11 @@ class SEResNet34(nn.Module):
                 x, frame_mask = SEBasicBlock(
                     planes=planes,
                     pool=pool if b == 0 else None,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x, train, frame_mask)
 
-        x = SelfAttentionPooling(name="attention")(x)  # (B, T/4, 256)
+        x = SelfAttentionPooling(name="attention")(x.astype(jnp.float32))  # (B, T/4, 256)
 
         lengths = None if feat_lengths is None else feat_lengths // self.time_pool
         x = BiGRU(hidden=self.enc_out_dim // 2, num_layers=2, dropout=0.3,

@@ -6,9 +6,10 @@ callable (wrapper.py:63-88).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import Config
@@ -38,17 +39,20 @@ class SELDModel(nn.Module):
     grid_size: Tuple[float, float] = (45.0, 45.0)
     nb_anchors: int = 5
     enc_out_dim: int = 256
+    compute_dtype: Any = jnp.float32  # encoder conv-stack dtype (bf16 train)
 
     @nn.compact
     def __call__(self, feat, train: bool = False, feat_lengths=None):
         """feat: (B, T, F, C) channel-last features; returns (B, T//4, out)."""
         if self.encoder_nm == "se-resnet34":
-            x = SEResNet34(enc_out_dim=self.enc_out_dim, name="encoder")(
+            x = SEResNet34(enc_out_dim=self.enc_out_dim, dtype=self.compute_dtype,
+                           name="encoder")(
                 feat, train=train, feat_lengths=feat_lengths)
         elif self.encoder_nm == "resnet-conformer":
             from .resnet_conformer import ResNetConformer
 
-            x = ResNetConformer(emb_dim=self.enc_out_dim, name="encoder")(
+            x = ResNetConformer(emb_dim=self.enc_out_dim, dtype=self.compute_dtype,
+                                name="encoder")(
                 feat, train=train, feat_lengths=feat_lengths)
         else:
             raise NotImplementedError(f"encoder: {self.encoder_nm}")
@@ -67,13 +71,18 @@ class SELDModel(nn.Module):
         return head(x)
 
 
-def build_model(cfg: Config) -> SELDModel:
+def build_model(cfg: Config, compute_dtype: Optional[str] = None) -> SELDModel:
+    """``compute_dtype`` overrides ``cfg.train.compute_dtype`` — eval paths
+    pass 'float32' so parity is independent of the training dtype."""
+    name = compute_dtype or cfg.train.compute_dtype
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
     return SELDModel(
         encoder_nm=cfg.args.encoder,
         loss_nm=cfg.args.loss,
         nb_classes=cfg.data.nb_classes,
         grid_size=tuple(cfg.train.grid_size),
         nb_anchors=cfg.train.nb_anchors,
+        compute_dtype=dtype,
     )
 
 

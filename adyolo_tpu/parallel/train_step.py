@@ -110,7 +110,12 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
 
     def step_fn(state: TrainState, batch: Dict, key) -> Tuple[TrainState, jax.Array]:
         k_aug, k_drop = jax.random.split(key)
-        feat = frontend._forward(batch["audio"], None,
+        audio = batch["audio"]
+        if audio.dtype == jnp.int16:
+            # fused normalization (src/datasets.py:147): int16 wire format
+            # halves host->HBM traffic
+            audio = audio.astype(jnp.float32) / 32768.0 + 1e-8
+        feat = frontend._forward(audio, None,
                                  frontend._mel_mean, frontend._mel_std,
                                  frontend._iv_mean, frontend._iv_std)
         if use_specaug:

@@ -1,0 +1,71 @@
+"""Tracing / profiling harness.
+
+The reference has no profiling beyond coarse ``time.time()`` phase timers
+(SURVEY.md §5); this module provides:
+
+* :func:`trace` — context manager wrapping ``jax.profiler`` so any phase
+  of training/eval can be captured for TensorBoard/Perfetto inspection;
+* :class:`PhaseTimer` — the coarse per-phase wall-clock timing the
+  reference prints (train.py:172-174,209-215), structured;
+* :func:`throughput_audio_s` — the BASELINE headline metric
+  (audio-seconds per wall-clock second) from a timed step.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+__all__ = ["trace", "PhaseTimer", "throughput_audio_s", "benchmark"]
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]) -> Iterator[None]:
+    """Capture a jax.profiler trace into ``logdir`` (no-op when None)."""
+    if logdir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class PhaseTimer:
+    """Accumulates wall-clock seconds per named phase."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] = self.totals.get(name, 0.0) + time.perf_counter() - t0
+
+    def report(self) -> str:
+        return ", ".join(f"{k}: {v:0.2f}s" for k, v in self.totals.items())
+
+
+def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
+    """Median-free simple steady-state seconds/call with block_until_ready."""
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def throughput_audio_s(batch: int, clip_seconds: float, step_seconds: float) -> float:
+    return batch * clip_seconds / step_seconds

@@ -1,75 +1,178 @@
-"""Benchmark: features+forward throughput on the flagship SELD model.
+"""Benchmarks for the BASELINE.json configs.
 
-Measures the BASELINE.json headline metric — audio-seconds processed per
-wall-clock second per chip for the fused feature-extraction + SE-ResNet34
-+ AD-YOLO forward pipeline on STARSS22-geometry clips (20 s, 4-ch FOA,
-24 kHz) — with device-resident input (the dev-environment host tunnel is
-~27 MB/s and would otherwise dominate; production input pipelines stream
-asynchronously).
+Default: prints ONE JSON line — the headline metric (audio-seconds per
+wall-clock second per chip for fused features+forward on the flagship
+SE-ResNet34 + AD-YOLO model, 20-s FOA clips, batch 16, device-resident
+input).  ``vs_baseline`` is the ratio against the 500x-real-time
+north-star target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the 500x-real-time north-star target.
+``--all`` additionally benchmarks the other BASELINE.json configs
+(one JSON line each):
+  1. single-clip infer latency (features+forward+decode, batch=1)
+  2. offline preprocessing feature kernels (scaler-stats pass)
+  3. MIC-array GCC-PHAT inference path
+  4. full forward-backward train step, batch 32
+  5. multi-format eval forward (accdoa vs adyolo heads)
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
+def _bench(fn, *args, iters=20, warmup=3):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(float(value), 3), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(float(vs_baseline), 3)
+    print(json.dumps(rec))
+
+
 def main() -> None:
     import jax
+
+    from adyolo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import dataclasses
+
     import jax.numpy as jnp
 
-    from adyolo_tpu.config import Config
+    from adyolo_tpu.config import Config, RunConfig
     from adyolo_tpu.engine.evaluate import make_frontend
     from adyolo_tpu.models.wrapper import build_model
+
+    run_all = "--all" in sys.argv
 
     cfg = Config()
     frontend = make_frontend(cfg)
     model = build_model(cfg)
 
-    B = 16
-    secs = cfg.data.chunk_window_s
+    B, secs = 16, cfg.data.chunk_window_s
     rng = np.random.default_rng(0)
-    audio = jax.device_put(
+    audio16 = jax.device_put(
         (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
+    feat_shape = (1, cfg.data.chunk_feat_frames, cfg.data.mel_bins,
+                  cfg.data.nb_feature_channels)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
 
-    variables = model.init(
+    def make_fwd(fe, mdl):
+        @jax.jit
+        def fwd(variables, audio):
+            feat = fe._forward(audio, None, fe._mel_mean, fe._mel_std,
+                               fe._iv_mean, fe._iv_std)
+            return mdl.apply(variables, feat, False)
+
+        return fwd
+
+    fwd = make_fwd(frontend, model)
+
+    # ---- headline: features+forward throughput ---------------------------
+    dt = _bench(fwd, variables, audio16)
+    _emit("audio-sec/sec/chip (features+forward, se-resnet34+adyolo)",
+          B * secs / dt, "audio_s/s", (B * secs / dt) / 500.0)
+
+    if not run_all:
+        return
+
+    from adyolo_tpu.ops.decode import PostProcessor
+
+    # ---- config 1: single-clip infer latency (p50) ------------------------
+    audio1 = audio16[:1]
+    pp = PostProcessor(cfg)
+    pp.set_conf_thresh(0.9)  # realistic sparse detections
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = fwd(variables, audio1)
+        pp.postprocess(np.asarray(out))
+        lat.append(time.perf_counter() - t0)
+    _emit("p50 per-clip infer latency (fwd+decode, 20 s clip)",
+          float(np.percentile(lat, 50) * 1e3), "ms")
+
+    # ---- config 2: preprocessing feature kernels --------------------------
+    raw = jax.device_put(
+        (rng.standard_normal((8, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
+    raw_fn = jax.jit(frontend.raw_mel_iv)
+    dt = _bench(raw_fn, raw)
+    _emit("scaler-pass feature kernel throughput", 8 * secs / dt, "audio_s/s")
+
+    # ---- config 3: MIC GCC-PHAT inference path ----------------------------
+    mic_cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, audio_format="mic"))
+    mic_fe = make_frontend(mic_cfg)
+    mic_model = build_model(mic_cfg)
+    mic_vars = mic_model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.data.chunk_feat_frames, cfg.data.mel_bins,
-                   cfg.data.nb_feature_channels), jnp.float32),
-        False,
-    )
+                   mic_cfg.data.nb_feature_channels), jnp.float32), False)
+    mic_fwd = make_fwd(mic_fe, mic_model)
+    dt = _bench(mic_fwd, mic_vars, audio16)
+    _emit("MIC/GCC-PHAT features+forward", B * secs / dt, "audio_s/s")
 
-    @jax.jit
-    def fwd(variables, audio):
-        feat = frontend._forward(audio, None, frontend._mel_mean, frontend._mel_std,
-                                 frontend._iv_mean, frontend._iv_std)
-        return model.apply(variables, feat, False)
+    # ---- config 4: full train step, batch 32 ------------------------------
+    from adyolo_tpu.data.labels import encode_adyolo, pad_yolo_targets
+    from adyolo_tpu.models.wrapper import make_grid_geometry
+    from adyolo_tpu.parallel.train_step import (build_train_step, init_state,
+                                                make_batch_placer)
 
-    fwd(variables, audio).block_until_ready()  # compile
-    # warm
+    B32 = 32
+    cfg32 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, batch_size=B32))
+    geom = make_grid_geometry(cfg32)
+    per_clip = []
+    for b in range(B32):
+        label = {}
+        for _ in range(12):
+            t = int(rng.integers(200))
+            label.setdefault(t, []).append([
+                int(rng.integers(13)), 0, float(rng.uniform(-180, 180)),
+                float(rng.uniform(-90, 90))])
+        per_clip.append(encode_adyolo(label, 200, geom))
+    targets, mask = pad_yolo_targets(per_clip, 8192)
+    audio32 = jax.device_put(
+        (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
+    state = init_state(cfg32, model, frontend, jax.random.PRNGKey(0))
+    step = build_train_step(cfg32, model, frontend, None)
+    place = make_batch_placer(cfg32, None)
+    batch = place({"audio": audio32, "targets": targets, "target_mask": mask})
+    key = jax.random.PRNGKey(1)
+    s = state
     for _ in range(3):
-        out = fwd(variables, audio)
-    out.block_until_ready()
-
-    iters = 20
+        s, loss = step(s, batch, key)
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, audio)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    N = 15
+    for _ in range(N):
+        s, loss = step(s, batch, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / N
+    _emit("train-step throughput (fwd+bwd+adam, B=32)", B32 * secs / dt, "audio_s/s")
 
-    audio_sec_per_sec = B * secs / dt
-    target = 500.0  # north-star: >= 500x real-time per chip (BASELINE.json)
-    print(json.dumps({
-        "metric": "audio-sec/sec/chip (features+forward, se-resnet34+adyolo)",
-        "value": round(audio_sec_per_sec, 1),
-        "unit": "audio_s/s",
-        "vs_baseline": round(audio_sec_per_sec / target, 3),
-    }))
+    # ---- config 5: multi-format eval forward ------------------------------
+    for loss_nm in ("accdoa", "adyolo"):
+        c = dataclasses.replace(cfg, args=RunConfig(loss=loss_nm))
+        m = build_model(c)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
+        f = make_fwd(frontend, m)
+        dt = _bench(f, v, audio16)
+        _emit(f"eval forward ({loss_nm} head)", B * secs / dt, "audio_s/s")
 
 
 if __name__ == "__main__":
