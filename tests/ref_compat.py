@@ -1,0 +1,64 @@
+"""Import helpers for using the read-only reference implementation as a
+golden test oracle (models/losses/decoders are pure torch/numpy).
+
+librosa and torchaudio are absent from this container; they are stubbed
+because the code paths under test never touch them (feature extraction is
+not exercised through the reference here).
+"""
+import sys
+import types
+
+import numpy as np
+
+_loaded = False
+
+
+def load_reference():
+    global _loaded
+    if _loaded:
+        import models.backbones.resnet  # noqa
+
+    if not hasattr(np, "float"):
+        np.float = float  # reference targets numpy<1.24
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+
+    for name in ("librosa", "librosa.core", "librosa.filters"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        tat = types.ModuleType("torchaudio.transforms")
+
+        class _Stub:
+            def __init__(self, *a, **k):
+                raise RuntimeError("torchaudio stub: not available in tests")
+
+        tat.TimeMasking = _Stub
+        tat.FrequencyMasking = _Stub
+        ta.transforms = tat
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = tat
+    _loaded = True
+
+
+def ref_train_params(nb_classes=13, loss="adyolo", conf=0.5, clss=0.5,
+                     unify=15.0, nms="conn-merge"):
+    """The nested params dict the reference constructors expect."""
+    return {
+        "args": {"device": "cpu", "loss": loss},
+        "data_config": {"nb_classes": nb_classes},
+        "train_config": {
+            "grid_size": [45.0, 45.0],
+            "nb_anchors": 5,
+            "conf_thresh": conf,
+            "clss_thresh": clss,
+            "unify_thresh": unify,
+            "train_unify": [45.0, 25.0, 10.0],
+            "g_overlap": 0.5,
+            "nms": nms,
+            "loss_gains": {"angular_gain": 5.0, "object_gain": 1.0,
+                           "nonobj_gain": 5.0, "class_gain": 3.0},
+        },
+    }
