@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--results_dir", type=str, default="results")
         sp.add_argument("--exp_id", type=str, default=None,
                         help="experiment id (default: local-<timestamp>)")
+        sp.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the TPU analog of the "
+                             "reference's torch.autograd.set_detect_anomaly)")
         # train-config overrides (merged by config_reader semantics)
         sp.add_argument("--batch_size", type=int, default=None)
         sp.add_argument("--nb_epochs", type=int, default=None)
@@ -61,6 +64,11 @@ def main(argv=None) -> int:
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if args.action == "preprocess":
         from .config import DATASET_PRESETS, DataConfig, _dataclass_from

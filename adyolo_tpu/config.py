@@ -149,6 +149,9 @@ class TrainConfig:
     # 7) with a validity mask so XLA shapes stay static.
     max_targets_per_clip: int = 4096
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv/matmul
+    # per-frame candidate cap for the device-side AD-YOLO decode compaction
+    # (0 = ship the full grid); exactness is guarded at decode time
+    decode_topk: int = 64
 
 
 @dataclass(frozen=True)

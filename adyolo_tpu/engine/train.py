@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
 import time
 from datetime import datetime
 from typing import Dict, Optional
@@ -45,7 +46,37 @@ from .evaluate import make_frontend, test_epoch, test_model
 __all__ = ["train_model", "train_one_epoch"]
 
 
-def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool):
+class _PreemptionGuard:
+    """SIGTERM/SIGINT-safe training: the reference has no failure handling
+    (SURVEY.md §5); here a termination signal finishes the in-flight batch,
+    triggers a checkpoint of the current epoch and exits cleanly so
+    ``--resume_pth`` continues without losing more than one epoch."""
+
+    def __init__(self):
+        self.stop = False
+        self._orig = {}
+
+    def __enter__(self):
+        def handler(signum, frame):
+            print(f"\n[adyolo_tpu] received signal {signum}; will checkpoint "
+                  "and exit after the current batch...")
+            self.stop = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._orig[sig] = signal.signal(sig, handler)
+            except ValueError:  # non-main thread (tests)
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for sig, orig in self._orig.items():
+            signal.signal(sig, orig)
+        return False
+
+
+def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
+                    guard=None):
     """Hot loop (train.py:40-62): place sharded batch -> fused step."""
     total, n = 0.0, 0
     for i, batch in enumerate(loader):
@@ -55,6 +86,8 @@ def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: boo
         total += float(loss)
         n += 1
         if quick_test and i == 4:
+            break
+        if guard is not None and guard.stop:
             break
     return state, key, total / max(n, 1)
 
@@ -131,12 +164,29 @@ def train_model(args: Dict, is_resume: bool = False,
     last_epoch = 3 if cfg.args.quick_test else cfg.train.nb_epochs
 
     # ---- epoch loop --------------------------------------------------------
+    guard = _PreemptionGuard()
+    guard.__enter__()
     for epoch in range(start_epoch, last_epoch + 1):
-        print(f"\nnow training {epoch:03d}/{last_epoch:03d} epoch...")
+        print(f"\nnow training {epoch:03d}/{last_epoch:03d} epoch...", flush=True)
         t0 = time.time()
         state, key, train_loss = train_one_epoch(
-            train_loader, train_step, state, key, place_batch, cfg.args.quick_test)
+            train_loader, train_step, state, key, place_batch, cfg.args.quick_test,
+            guard)
         train_time = (time.time() - t0) / 60.0
+        if guard.stop:
+            # preemption: persist a resumable checkpoint for THIS epoch
+            save_checkpoint(
+                os.path.join(output_pth, "model_ckpt.ckpt"), state,
+                {"start_epoch_nb": epoch,
+                 "confidence_thresh": float(postprocessor.get_conf_thresh()),
+                 "rng_state": get_rng_state(key),
+                 "best_log": best_log,
+                 "train_remaining_file": train_ds.sampler.get_remaining()},
+            )
+            print(f"[adyolo_tpu] preempted during epoch {epoch}; checkpoint "
+                  f"saved — resume with --resume_pth {cfg.args.exp_id}")
+            logger.stop()
+            return cfg
         train_ds.resample_epoch()
 
         # dynamic conf-threshold arbitration (train.py:178-206)

@@ -146,6 +146,26 @@ def _adyolo_device_decode(logits, geom: GridGeometry, nb_classes: int):
     return cls, obj, uv
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: int):
+    """Decode + per-frame top-k compaction by objectness.
+
+    Only the k most confident anchors per frame ship to the host (the NMS
+    candidate set), shrinking the device->host transfer and the host loops
+    by G0*G1*A/k.  Exact whenever at most k anchors clear the confidence
+    threshold — the host checks the k-th value and falls back to the full
+    grid otherwise (only plausible with untrained models).
+    """
+    cls, obj, uv = _adyolo_device_decode(logits, geom, nb_classes)
+    B, T = obj.shape[:2]
+    obj_f = obj.reshape(B, T, -1)
+    val, idx = jax.lax.top_k(obj_f, k)  # (B, T, k)
+    cls_k = jnp.take_along_axis(cls.reshape(B, T, -1, nb_classes),
+                                idx[..., None], axis=2)
+    uv_k = jnp.take_along_axis(uv.reshape(B, T, -1, 2), idx[..., None], axis=2)
+    return cls_k, val, uv_k
+
+
 @jax.jit
 def _track_norms(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1))
@@ -172,6 +192,7 @@ class PostProcessor:
         if self.loss == "adyolo":
             self.geom = GridGeometry(tuple(cfg.train.grid_size), cfg.train.g_overlap,
                                      cfg.train.nb_anchors)
+            self.decode_topk = int(getattr(cfg.train, "decode_topk", 64))
 
     # conf-threshold arbitration hooks (datasets.py:529-534)
     def get_conf_thresh(self) -> float:
@@ -278,17 +299,30 @@ class PostProcessor:
 
     def _adyolo(self, output, valid):
         logits = jnp.asarray(output)
-        cls_conf, obj_conf, uv = _adyolo_device_decode(logits, self.geom, self.nb_classes)
-        cls_conf = np.asarray(cls_conf[0])  # (T, G0, G1, A, K)
-        obj_conf = np.asarray(obj_conf[0])  # (T, G0, G1, A)
-        uv = np.asarray(uv[0])  # (T, G0, G1, A, 2)
+        n_anchors = self.geom.nb_predicts
+        k = min(self.decode_topk, n_anchors) if self.decode_topk else n_anchors
+        if k < n_anchors:
+            cls_conf, obj_conf, uv = _adyolo_device_decode_topk(
+                logits, self.geom, self.nb_classes, k)
+            # truncation guard: if the k-th candidate still clears the
+            # threshold somewhere, redo with the full grid
+            if float(jnp.max(obj_conf[..., -1])) > self.conf_thresh:
+                cls_conf, obj_conf, uv = _adyolo_device_decode(
+                    logits, self.geom, self.nb_classes)
+        else:
+            cls_conf, obj_conf, uv = _adyolo_device_decode(
+                logits, self.geom, self.nb_classes)
+        # flatten any grid layout to (T, n_cand, ...)
+        cls_conf = np.asarray(cls_conf[0]).reshape(logits.shape[1], -1, self.nb_classes)
+        obj_conf = np.asarray(obj_conf[0]).reshape(logits.shape[1], -1)
+        uv = np.asarray(uv[0]).reshape(logits.shape[1], -1, 2)
         T = cls_conf.shape[0]
         if valid is not None:
             T = min(T, valid)
 
         res: Dict[int, List] = {}
         for t in range(T):
-            sel = obj_conf[t] > self.conf_thresh  # (G0, G1, A)
+            sel = obj_conf[t] > self.conf_thresh  # (n_cand,)
             if not sel.any():
                 continue
             cand_cls = cls_conf[t][sel]  # (n, K)
