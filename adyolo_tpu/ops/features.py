@@ -36,6 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Front-end matmul precision: HIGH (bf16x3 passes) gives 1.1e-5 relative
+# error vs the float64 oracle at 1.4x the speed of HIGHEST (1.7e-7) on
+# TPU v5e -- measured in PLAN.md; comfortably inside the <=1e-3 feature
+# parity budget.  (DEFAULT/bf16 is 2.7e-3 -- too coarse.)
+_STFT_PRECISION = jax.lax.Precision.HIGH
+
 from ..config import DataConfig
 from .dsp import analysis_window, dft_matrices, mel_filterbank
 
@@ -121,9 +127,9 @@ def _stft_re_im(x, n_fft, hop, w_re, w_im):
         x = jnp.pad(x, ((0, 0), (0, rpad), (0, 0)))
     frames = frame_signal(x, n_fft, hop, n_frames)
     re = jnp.einsum("btnc,nk->btkc", frames, w_re, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
     im = jnp.einsum("btnc,nk->btkc", frames, w_im, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
     return re, im
 
 
@@ -131,7 +137,7 @@ def _logmel(re, im, mel_t, frame_mask):
     power = re * re + im * im  # (B,T,K,C)
     mel_power = jnp.einsum("btkc,km->btmc", power, mel_t,
                            preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
     return power_to_db(mel_power, frame_mask)
 
 
@@ -144,7 +150,7 @@ def _foa_iv(re, im, mel_t):
                      + (x_re ** 2 + x_im ** 2).sum(-1) / 3.0)
     iv = iv / energy[..., None]
     return jnp.einsum("btkc,km->btmc", iv, mel_t, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
 
 
 def _gcc_phat_mel(re, im, n_fft: int, n_lags: int):

@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Front-end matmul precision: HIGH (bf16x3 passes) gives 1.1e-5 relative
+# error vs the float64 oracle at 1.4x the speed of HIGHEST (1.7e-7) on
+# TPU v5e -- measured in PLAN.md; comfortably inside the <=1e-3 feature
+# parity budget.  (DEFAULT/bf16 is 2.7e-3 -- too coarse.)
+_STFT_PRECISION = jax.lax.Precision.HIGH
+
 from .dsp import analysis_window, dft_matrices
 
 __all__ = ["frame_signal", "stft", "make_stft"]
@@ -62,10 +68,10 @@ def _stft_impl(x, w_re, w_im, n_fft, hop):
     # MXU: contract the n_fft axis.  (B,T,n,C),(n,K) -> (B,T,K,C)
     re = jnp.einsum("btnc,nk->btkc", frames, w_re,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
     im = jnp.einsum("btnc,nk->btkc", frames, w_im,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_STFT_PRECISION)
     return re, im
 
 
