@@ -126,7 +126,7 @@ class TrainConfig:
     nb_epochs: int = 200
     nb_iters: int = 500
     batch_size: int = 16
-    num_workers: int = 0  # host-side prefetch threads (0 = synchronous)
+    num_workers: int = 1  # host-side prefetch threads (0 = synchronous)
     prefetch_factor: int = 2
 
     optim: str = "Adam"

@@ -337,6 +337,18 @@ class SegmentScorer:
 
     # -- public API ---------------------------------------------------------
 
+    @staticmethod
+    def get_nb_files(file_list: Sequence[str], tag: str = "all") -> Dict:
+        """Group prediction files by filename tag (reference
+        seld_metrics.py:400-426: 'all' -> one group, 'room' -> group by the
+        room digit at filename position 10)."""
+        group_ind = {"room": 10}
+        out: Dict = {}
+        for fname in file_list:
+            ind = 0 if tag == "all" else int(fname[group_ind[tag]])
+            out.setdefault(ind, []).append(fname)
+        return out
+
     def get_SELD_Results(self, pred_dir: str, is_jackknife: bool = False):
         files = [f for f in sorted(os.listdir(pred_dir)) if f in self.ref_labels]
         ER, F, LE, LR, SELD, classwise = self._score_files(pred_dir, files)

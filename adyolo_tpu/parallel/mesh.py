@@ -54,7 +54,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place every leaf of a host batch with its leading axis sharded over
-    the data axis (per-host input sharding comes later via
-    ``jax.make_array_from_process_local_data`` in multi-host setups)."""
+    the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batch_multihost(batch: Any, mesh: Mesh) -> Any:
+    """Multi-host input placement: each process contributes its local shard
+    of the global batch (``jax.make_array_from_process_local_data``), so
+    hosts read disjoint file subsets and no cross-host gather happens on
+    the input path.  Single-process setups degrade to :func:`shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), batch)
