@@ -1,0 +1,38 @@
+"""Engine end-to-end smoke for the dense-target formats (the adyolo path
+is covered in test_engine.py; these exercise the dense label loaders,
+bucket-padded dense targets and decoders through train+eval)."""
+import os
+
+import pytest
+
+from adyolo_tpu.engine.train import train_model
+
+from tests.synth_data import make_synth_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata_fmt")
+    return make_synth_dataset(str(root), n_train=6, n_val=1, n_test=1)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss", ["accdoa", "adpit", "masked-seddoa"])
+def test_quick_train_dense_formats(synth_root, tmp_path, loss):
+    results = str(tmp_path / f"results-{loss}")
+    args = {
+        "action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
+        "loss": loss, "seed": 100, "augment": False, "fix_thresh": True,
+        "logger": False, "quick_test": True, "eval_pth": None,
+        "resume_pth": None, "infer_pth": None, "results_dir": results,
+        "batch_size": 2, "nb_iters": 1, "exp_id": f"exp-{loss}",
+        "nb_epochs": 1,
+    }
+    train_model(args, cfg_overrides={
+        "data": {"data_pth": synth_root,
+                 "name_pth": os.path.join(synth_root, "classes.txt")},
+    })
+    exp = os.path.join(results, f"exp-{loss}")
+    assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
+    # eval CSVs written for the test clip through the format's decoder
+    assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
