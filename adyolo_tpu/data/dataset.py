@@ -29,7 +29,7 @@ import os
 import random
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -17,10 +17,9 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import numpy as np
 from flax import serialization
 
 from ..parallel.train_step import TrainState

@@ -27,7 +27,6 @@ from datetime import datetime
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, load_config, save_config, flatten_config, with_conf_thresh

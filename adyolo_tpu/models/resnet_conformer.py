@@ -23,7 +23,7 @@ Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .dsp import analysis_window, dft_matrices
 

@@ -15,7 +15,7 @@ in lockstep.
 from __future__ import annotations
 
 import random
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ reference does per-block (``src/datasets.py:158-159``).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

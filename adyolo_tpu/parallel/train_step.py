@@ -12,7 +12,6 @@ builders serve the single-chip case (1-device mesh) with zero overhead.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -23,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..ops.features import FeatureFrontend
 from ..ops.specaug import spec_augment
-from ..models.wrapper import build_model, make_criterion
+from ..models.wrapper import make_criterion
 
 __all__ = ["TrainState", "make_optimizer", "build_train_step", "build_eval_forward",
            "init_state", "batch_shardings_for", "make_batch_placer"]
