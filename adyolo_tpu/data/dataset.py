@@ -210,28 +210,46 @@ class TrainLoader:
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.queue_depth)
         stop = object()
+        cancelled = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    q.put(_assemble_batch(self.dataset, b, self.max_targets))
-            finally:
-                q.put(stop)
+                    item = _assemble_batch(self.dataset, b, self.max_targets)
+                    while not cancelled.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if cancelled.is_set():
+                        return
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+                return
+            q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancelled.set()  # unblock the worker if the consumer quits early
 
 
 def bucket_samples(n_samples: int, hop: int, buckets: Sequence[int]) -> int:
     """Smallest bucket (in samples) holding ``n_samples``; buckets are
     frame counts at the STFT hop.  Falls back to rounding up to the
-    largest bucket's granularity for very long clips."""
-    frames = n_samples // hop
+    largest bucket's granularity for very long clips.  Frame count is
+    ceil-divided: a clip whose length is not a hop multiple must still fit
+    inside the bucket buffer."""
+    frames = -(-n_samples // hop)
     for b in buckets:
         if frames <= b:
             return b * hop
@@ -252,7 +270,9 @@ class EvalLoader:
         self.dataset = dataset
         self.cfg = cfg
         self.buckets = tuple(buckets)
-        self.max_targets = cfg.train.max_targets_per_clip
+        # target capacity scales with clip length: max_targets_per_clip is
+        # sized for one 20-s chunk, eval clips may run many minutes
+        self.max_targets_per_chunk = cfg.train.max_targets_per_clip
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -273,7 +293,9 @@ class EvalLoader:
             }
             enc = self.dataset.encode_label(label, nb_label_frames)
             if self.dataset.loss_nm == "adyolo":
-                targets, mask = pad_yolo_targets([enc], self.max_targets)
+                chunks = -(-nb_label_frames // self.cfg.data.chunk_label_frames)
+                capacity = max(1, chunks) * self.max_targets_per_chunk
+                targets, mask = pad_yolo_targets([enc], capacity)
                 item["targets"] = targets
                 item["target_mask"] = mask
             else:

@@ -123,8 +123,8 @@ def pad_yolo_targets(
     ragged collate (datasets.py:164-184).
 
     Overflow beyond ``max_targets`` is dropped deterministically from the
-    end (train-time capacity is configured well above the observed maximum;
-    an assert in the pipeline flags overflow).
+    end, with a stderr warning — capacity is configured well above the
+    observed maximum (train: per-chunk, eval: scaled by clip length).
     """
     rows = []
     for b, t in enumerate(per_clip):
@@ -136,6 +136,12 @@ def pad_yolo_targets(
     else:
         cat = np.zeros((0, 7), np.float32)
     n = min(len(cat), max_targets)
+    if len(cat) > max_targets:
+        import sys
+
+        print(f"[adyolo_tpu] WARNING: dropping {len(cat) - max_targets} of "
+              f"{len(cat)} AD-YOLO target rows (capacity {max_targets}); "
+              "raise train.max_targets_per_clip", file=sys.stderr)
     out = np.zeros((max_targets, 7), np.float32)
     mask = np.zeros((max_targets,), bool)
     out[:n] = cat[:n]

@@ -146,7 +146,9 @@ def test_model(cfg_args: Dict, results_dir: str = "results") -> Dict:
             print(f"eval time: {(time.time() - t0) / 60:0.2f} min, loss: {loss:0.4f}")
 
             ref_dir = os.path.join(cfg.data.data_pth, "metadata_dev", f"dev-{action}")
-            scorer = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes)
+            frames_1s = int(cfg.data.sr / cfg.data.label_hop_len)
+            scorer = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes,
+                                   nb_label_frames_1s=frames_1s)
             ER, F, LE, LR, SELD, classwise = scorer.get_SELD_Results(
                 os.path.join(output_pth, "output_eval"))
             _print_scores("", (ER, F, LE, LR, SELD))
@@ -166,10 +168,12 @@ def test_model(cfg_args: Dict, results_dir: str = "results") -> Dict:
                       f"{classwise[4][c]:0.4f}\t{nm}")
 
             print("\nevaluation on class-independent polyphony:")
-            ov = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes, overlap="any")
+            ov = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes,
+                               nb_label_frames_1s=frames_1s, overlap="any")
             _print_scores("", ov.get_SELD_Results(os.path.join(output_pth, "output_eval")))
             print("evaluation on class-homogenous polyphony:")
-            ov = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes, overlap="classwise")
+            ov = SegmentScorer(ref_dir, nb_classes=cfg.data.nb_classes,
+                               nb_label_frames_1s=frames_1s, overlap="classwise")
             _print_scores("", ov.get_SELD_Results(os.path.join(output_pth, "output_eval")))
     else:
         print(f"\n===== INFERENCE ON WAVS UNDER: {cfg.args.infer_pth} =====")

@@ -142,19 +142,23 @@ def train_model(args: Dict, is_resume: bool = False,
 
     val_ref = os.path.join(cfg.data.data_pth, "metadata_dev", "dev-val")
     test_ref = os.path.join(cfg.data.data_pth, "metadata_dev", "dev-test")
-    val_scorer = SegmentScorer(val_ref, nb_classes=cfg.data.nb_classes)
-    test_scorer = SegmentScorer(test_ref, nb_classes=cfg.data.nb_classes)
+    frames_1s = int(cfg.data.sr / cfg.data.label_hop_len)
+    val_scorer = SegmentScorer(val_ref, nb_classes=cfg.data.nb_classes,
+                               nb_label_frames_1s=frames_1s)
+    test_scorer = SegmentScorer(test_ref, nb_classes=cfg.data.nb_classes,
+                                nb_label_frames_1s=frames_1s)
 
     # ---- resume restore (train.py:145-159) --------------------------------
     if is_resume:
         state, host = load_checkpoint(os.path.join(output_pth, "model_ckpt.ckpt"), state)
         train_ds.sampler.set_remaining(host["train_remaining_file"])
+        # reference resume restores the BEST conf-thresh (train.py:151),
+        # not the rolling one
         postprocessor.set_conf_thresh(host["best_log"]["best_conf_thresh"])
+        cfg = with_conf_thresh(cfg, host["best_log"]["best_conf_thresh"])
         start_epoch = host["start_epoch_nb"]
         best_log = host["best_log"]
         key = set_rng_state(host["rng_state"])
-        cfg = with_conf_thresh(cfg, host["confidence_thresh"])
-        postprocessor.set_conf_thresh(host["confidence_thresh"])
     else:
         start_epoch = 1
         best_log = {"best_epoch": -1, "best_val_SELD": 9999.0,
@@ -165,6 +169,34 @@ def train_model(args: Dict, is_resume: bool = False,
     # ---- epoch loop --------------------------------------------------------
     guard = _PreemptionGuard()
     guard.__enter__()
+    try:
+        preempted = _run_epochs(
+            cfg, guard, start_epoch, last_epoch, train_loader, train_step,
+            state_box := [state], key_box := [key], place_batch, train_ds,
+            valid_loader, test_loader, eval_fwd, criterion, postprocessor,
+            val_scorer, test_scorer, best_log_box := [best_log],
+            output_pth, logger)
+    finally:
+        guard.__exit__()
+    if preempted:
+        logger.stop()
+        return cfg
+
+    print("\n===== TRAINING ENDED; FINAL TEST WITH BEST CHECKPOINT =====\n")
+    test_model({"action": "test", "eval_pth": cfg.args.exp_id}, results_dir=results_dir)
+    logger.stop()
+    return cfg
+
+
+def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
+                state_box, key_box, place_batch, train_ds, valid_loader,
+                test_loader, eval_fwd, criterion, postprocessor, val_scorer,
+                test_scorer, best_log_box, output_pth, logger):
+    """Epoch loop body; returns True when preempted.  State/key/best_log
+    travel in single-element lists so the caller sees final values."""
+    state = state_box[0]
+    key = key_box[0]
+    best_log = best_log_box[0]
     for epoch in range(start_epoch, last_epoch + 1):
         print(f"\nnow training {epoch:03d}/{last_epoch:03d} epoch...", flush=True)
         t0 = time.time()
@@ -184,8 +216,10 @@ def train_model(args: Dict, is_resume: bool = False,
             )
             print(f"[adyolo_tpu] preempted during epoch {epoch}; checkpoint "
                   f"saved — resume with --resume_pth {cfg.args.exp_id}")
-            logger.stop()
-            return cfg
+            state_box[0] = state
+            key_box[0] = key
+            best_log_box[0] = best_log
+            return True
         train_ds.resample_epoch()
 
         # dynamic conf-threshold arbitration (train.py:178-206)
@@ -272,7 +306,7 @@ def train_model(args: Dict, is_resume: bool = False,
                                  (s[0], s[1] * 100, s[2], s[3] * 100, s[4])):
                     logger.log(f"logs/{split}/{nm}", float(v), epoch)
 
-    print("\n===== TRAINING ENDED; FINAL TEST WITH BEST CHECKPOINT =====\n")
-    test_model({"action": "test", "eval_pth": cfg.args.exp_id}, results_dir=results_dir)
-    logger.stop()
-    return cfg
+    state_box[0] = state
+    key_box[0] = key
+    best_log_box[0] = best_log
+    return False

@@ -327,11 +327,18 @@ class SegmentScorer:
             pred = {f: pred[f] for f in self.ref_ov_frames[fname] if f in pred}
         return pred
 
-    def _score_files(self, pred_dir: str, files: Sequence[str]):
+    def _score_files(self, pred_dir: str, files: Sequence[str],
+                     seg_cache: Optional[Dict] = None):
         ev = SELDMetrics(self.doa_threshold, self.nb_classes, self.average)
         for fname in files:
-            pred = self._load_pred(pred_dir, fname)
-            pred_seg = segment_labels(pred, self.ref_labels[fname][1], self.frames_1s)
+            if seg_cache is not None and fname in seg_cache:
+                pred_seg = seg_cache[fname]
+            else:
+                pred = self._load_pred(pred_dir, fname)
+                pred_seg = segment_labels(pred, self.ref_labels[fname][1],
+                                          self.frames_1s)
+                if seg_cache is not None:
+                    seg_cache[fname] = pred_seg
             ev.update_seld_scores(pred_seg, self.ref_labels[fname][0])
         return ev.compute_seld_scores()
 
@@ -351,7 +358,10 @@ class SegmentScorer:
 
     def get_SELD_Results(self, pred_dir: str, is_jackknife: bool = False):
         files = [f for f in sorted(os.listdir(pred_dir)) if f in self.ref_labels]
-        ER, F, LE, LR, SELD, classwise = self._score_files(pred_dir, files)
+        # segment each prediction file once; the leave-one-out pass reuses
+        # the cache (the reference caches the same way, seld_metrics.py:442)
+        seg_cache: Dict = {} if is_jackknife else None
+        ER, F, LE, LR, SELD, classwise = self._score_files(pred_dir, files, seg_cache)
         if not is_jackknife:
             return ER, F, LE, LR, SELD, classwise
 
@@ -361,7 +371,7 @@ class SegmentScorer:
         partial = []
         for leave in files:
             rest = [f for f in files if f != leave]
-            res = self._score_files(pred_dir, rest)
+            res = self._score_files(pred_dir, rest, seg_cache)
             est = list(res[:5])
             if len(res[5]):
                 est.extend(np.asarray(res[5]).reshape(-1).tolist())

@@ -166,11 +166,6 @@ def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: i
     return cls_k, val, uv_k
 
 
-@jax.jit
-def _track_norms(x):
-    return jnp.sqrt(jnp.sum(x * x, axis=-1))
-
-
 # ---------------------------------------------------------------------------
 
 
