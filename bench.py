@@ -24,17 +24,9 @@ import numpy as np
 
 
 def _bench(fn, *args, iters=20, warmup=3):
-    import jax
+    from adyolo_tpu.utils.profiling import benchmark
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    return benchmark(fn, *args, iters=iters, warmup=warmup)
 
 
 def _emit(metric, value, unit, vs_baseline=None):
