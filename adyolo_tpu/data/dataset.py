@@ -56,6 +56,25 @@ class EpochPoolSampler:
 
     def sample_epoch(self) -> List[str]:
         nb = self.nb_samples
+        if not self.total:
+            raise ValueError("EpochPoolSampler: empty file list")
+        if nb > len(self.total):
+            # Small-dataset guard (e.g. quick_test on a tiny folder): wrap
+            # the no-replacement pool as many times as needed.  The
+            # reference crashes here (random.sample ValueError), so there
+            # is no RNG-parity constraint on this branch.
+            filelist: List[str] = []
+            need = nb
+            while need > 0:
+                if not self.remaining:
+                    self.remaining = copy.deepcopy(self.total)
+                take = min(need, len(self.remaining))
+                picked = random.sample(self.remaining, take)
+                for f in picked:
+                    self.remaining.remove(f)
+                filelist.extend(picked)
+                need -= take
+            return filelist
         if len(self.remaining) >= nb:
             filelist = random.sample(self.remaining, nb)
             for f in filelist:
@@ -93,9 +112,11 @@ class SELDDataset:
         self.loss_nm = cfg.args.loss
         d = cfg.data
 
+        audio_dir = f"{d.audio_format}_dev"  # foa_dev | mic_dev layouts
+
         if set_type == "train":
             sub = f"dev-train-chunked_{d.chunk_window_s}s_{d.chunk_stride_s}s"
-            self.wav_pth = os.path.join(d.data_pth, "foa_dev", sub)
+            self.wav_pth = os.path.join(d.data_pth, audio_dir, sub)
             self.csv_pth = os.path.join(d.data_pth, "metadata_dev", sub)
             self.total_filelist = io.list_clips(self.wav_pth)
             self.sampler = EpochPoolSampler(
@@ -108,12 +129,24 @@ class SELDDataset:
             self.filelist = io.list_clips(self.wav_pth)
             self.sampler = None
         else:  # val / test
-            self.wav_pth = os.path.join(d.data_pth, "foa_dev", f"dev-{set_type}")
+            self.wav_pth = os.path.join(d.data_pth, audio_dir, f"dev-{set_type}")
             self.csv_pth = os.path.join(d.data_pth, "metadata_dev", f"dev-{set_type}")
             self.filelist = io.list_clips(self.wav_pth)
             self.sampler = None
 
-        self.rotation = RotationAug(cfg.aug.rotation_augment, is_valid or self.is_infer)
+        # rotation augmentation is FOA-specific math (channel swaps/sign
+        # flips of W/X/Y/Z, ops/rotation.py); applying it to raw mic
+        # channels would silently corrupt them, so it is gated off for
+        # non-FOA input with a warning.
+        rotation_enabled = cfg.aug.rotation_augment
+        if rotation_enabled and d.audio_format != "foa":
+            import sys
+
+            print("[adyolo_tpu] WARNING: rotation augmentation is FOA-only; "
+                  f"disabled for audio_format={d.audio_format!r}",
+                  file=sys.stderr)
+            rotation_enabled = False
+        self.rotation = RotationAug(rotation_enabled, is_valid or self.is_infer)
         if self.loss_nm == "adyolo":
             self.geom = GridGeometry(
                 tuple(cfg.train.grid_size), cfg.train.g_overlap, cfg.train.nb_anchors
@@ -186,19 +219,32 @@ class TrainLoader:
     ``DataLoader(num_workers=16, prefetch_factor=4)``, train.py:125-129 —
     here the heavy feature work is on-device so one IO thread suffices)."""
 
-    def __init__(self, dataset: SELDDataset, cfg: Config):
+    def __init__(self, dataset: SELDDataset, cfg: Config,
+                 rank: int = 0, num_shards: int = 1):
+        """``rank``/``num_shards``: multi-host DP input sharding — each
+        process assembles ``batch_size / num_shards`` clips per step from a
+        disjoint interleaved slice of the (identically seeded, hence
+        identically ordered) epoch file list.  Single-host is (0, 1)."""
         self.dataset = dataset
-        self.batch_size = cfg.train.batch_size
+        assert cfg.train.batch_size % max(num_shards, 1) == 0, (
+            cfg.train.batch_size, num_shards)
+        self.rank = rank
+        self.num_shards = max(num_shards, 1)
+        self.batch_size = cfg.train.batch_size // self.num_shards
         self.max_targets = cfg.train.max_targets_per_clip * self.batch_size
         self.prefetch = cfg.train.num_workers > 0
         self.queue_depth = max(2, cfg.train.prefetch_factor)
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) // (self.batch_size * self.num_shards)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         names = list(self.dataset.get_filelist())
         random.shuffle(names)  # DataLoader(shuffle=True) analog
+        if self.num_shards > 1:
+            # disjoint per-host slice; every host consumed the same RNG, so
+            # the shuffled order is identical and slices never overlap
+            names = names[self.rank::self.num_shards]
         batches = [
             names[i : i + self.batch_size]
             for i in range(0, len(names) - self.batch_size + 1, self.batch_size)

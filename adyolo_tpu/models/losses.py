@@ -34,13 +34,24 @@ from ..ops.grid import GridGeometry
 __all__ = ["seddoa_loss", "accdoa_loss", "adpit_loss", "adyolo_loss", "bce_probs"]
 
 _BCE_CLAMP = 100.0  # torch BCELoss clamps log at -100
+_F32_TINY = 1.1754944e-38  # smallest normal float32
+
+
+def _log_clamped(p):
+    """torch ``log(p).clamp(min=-100)`` with finite gradients.
+
+    Below the smallest normal f32 (where TPUs flush subnormals to zero and
+    ``log`` would emit -inf) the clamp value -100 is returned directly, so
+    a fully saturated sigmoid (p == 0) yields per-element loss 100 exactly
+    like torch, not the ~87.5 a 1e-38 probability clip would cap it at.
+    """
+    raw = jnp.log(jnp.maximum(p, _F32_TINY))
+    return jnp.where(p < _F32_TINY, jnp.asarray(-_BCE_CLAMP, p.dtype), raw)
 
 
 def bce_probs(p, y):
     """Elementwise BCE on probabilities, torch nn.BCELoss convention."""
-    logp = jnp.maximum(jnp.log(jnp.clip(p, 1e-38)), -_BCE_CLAMP)
-    log1mp = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-38)), -_BCE_CLAMP)
-    return -(y * logp + (1.0 - y) * log1mp)
+    return -(y * _log_clamped(p) + (1.0 - y) * _log_clamped(1.0 - p))
 
 
 def _bce_logits_pos(z):

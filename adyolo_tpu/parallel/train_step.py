@@ -41,13 +41,36 @@ def batch_shardings_for(cfg: Config, mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def make_batch_placer(cfg: Config, mesh: Optional[Mesh]):
-    """Returns ``place(batch)`` pinning each leaf to its step sharding."""
+    """Returns ``place(batch)`` pinning each leaf to its step sharding.
+
+    Under multi-host DP (``jax.process_count() > 1``) each process's host
+    batch is its local shard of the global batch: batch-sharded leaves go
+    through ``jax.make_array_from_process_local_data`` and the replicated
+    AD-YOLO target rows are globalized (batch-index offset + all-gather,
+    :func:`..parallel.mesh.globalize_yolo_targets`) so every host holds the
+    identical target tensor the loss expects."""
     if mesh is None or mesh.devices.size == 1:
         return lambda batch: jax.tree.map(jax.device_put, batch)
     sh = batch_shardings_for(cfg, mesh)
+    nproc = jax.process_count()
+    if nproc == 1:
+        def place(batch):
+            return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
 
-    def place(batch):
-        return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+        return place
+
+    from .mesh import globalize_yolo_targets, place_multihost
+
+    is_adyolo = cfg.args.loss == "adyolo"
+    rank = jax.process_index()
+    local_batch = cfg.train.batch_size // nproc
+
+    def place(batch):  # pragma: no cover - needs a real multi-host run
+        batch = dict(batch)
+        if is_adyolo:
+            batch["targets"], batch["target_mask"] = globalize_yolo_targets(
+                batch["targets"], batch["target_mask"], rank, nproc, local_batch)
+        return {k: place_multihost(v, sh[k]) for k, v in batch.items()}
 
     return place
 
@@ -107,16 +130,17 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
     blocks = (4, d_iv) if (d_iv := cfg.data.nb_feature_channels - 4) else (4,)
     aug = cfg.aug
 
-    def step_fn(state: TrainState, batch: Dict, key) -> Tuple[TrainState, jax.Array]:
+    def step_fn(state: TrainState, batch: Dict, key,
+                scaler) -> Tuple[TrainState, jax.Array]:
         k_aug, k_drop = jax.random.split(key)
         audio = batch["audio"]
         if audio.dtype == jnp.int16:
             # fused normalization (src/datasets.py:147): int16 wire format
             # halves host->HBM traffic
             audio = audio.astype(jnp.float32) / 32768.0 + 1e-8
-        feat = frontend._forward(audio, None,
-                                 frontend._mel_mean, frontend._mel_std,
-                                 frontend._iv_mean, frontend._iv_std)
+        mel_mean, mel_std, aux_mean, aux_std = scaler
+        feat = frontend._forward(audio, None, mel_mean, mel_std,
+                                 aux_mean, aux_std)
         if use_specaug:
             feat = spec_augment(feat, k_aug, blocks,
                                 aug.spec_augment_time_mask_param,
@@ -139,17 +163,28 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
     if mesh is None or mesh.devices.size == 1:
         # single-device fast path: skip GSPMD sharding annotations (the
         # partitioner adds minutes of compile time for zero benefit)
-        return jax.jit(step_fn, donate_argnums=(0,))
+        jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    else:
+        repl = NamedSharding(mesh, P())
+        batch_shardings = batch_shardings_for(cfg, mesh)
+        state_sh = TrainState(repl, repl, repl, repl)
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(state_sh, batch_shardings, repl,
+                          (repl, repl, repl, repl)),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,),
+        )
 
-    repl = NamedSharding(mesh, P())
-    batch_shardings = batch_shardings_for(cfg, mesh)
-    state_sh = TrainState(repl, repl, repl, repl)
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, batch_shardings, repl),
-        out_shardings=(state_sh, repl),
-        donate_argnums=(0,),
-    )
+    def train_step(state, batch, key):
+        # scaler stats are read from the frontend at *call* time (like the
+        # eval path) so ``frontend.set_scaler()`` after the step is built
+        # takes effect — a stale trace-time closure silently would not.
+        return jit_step(state, batch, key,
+                        (frontend._mel_mean, frontend._mel_std,
+                         frontend._aux_mean, frontend._aux_std))
+
+    return train_step
 
 
 def build_eval_forward(cfg: Config, model, frontend: FeatureFrontend) -> Callable:
@@ -167,7 +202,7 @@ def build_eval_forward(cfg: Config, model, frontend: FeatureFrontend) -> Callabl
         with jax.default_matmul_precision("float32"):
             feat = frontend._forward(audio, valid_feat_frames,
                                      frontend._mel_mean, frontend._mel_std,
-                                     frontend._iv_mean, frontend._iv_std)
+                                     frontend._aux_mean, frontend._aux_std)
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               feat, False, feat_lengths=valid_feat_frames)
         return out

@@ -136,3 +136,23 @@ def test_adyolo_grad_finite():
     )(logits)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_bce_saturation_matches_torch_clamp():
+    """torch nn.BCELoss clamps log at -100, so a fully saturated sigmoid
+    (p==0 or 1-p==0) gives a per-element loss of exactly 100 (VERDICT r1
+    weak #7); gradients must stay finite through the clamp."""
+    import torch
+
+    p = np.array([0.0, 1.0, 0.5, 1e-30, 1.0 - 1e-7], dtype=np.float32)
+    y = np.array([1.0, 0.0, 1.0, 1.0, 0.0], dtype=np.float32)
+    got = np.asarray(L.bce_probs(jnp.asarray(p), jnp.asarray(y)))
+    want = torch.nn.BCELoss(reduction="none")(
+        torch.tensor(p), torch.tensor(y)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert got[0] == 100.0 and got[1] == 100.0
+
+    import jax
+
+    g = jax.grad(lambda q: L.bce_probs(q, jnp.asarray(y)).sum())(jnp.asarray(p))
+    assert np.isfinite(np.asarray(g)).all()
