@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--resume_pth", type=str, default=None)
         sp.add_argument("--infer_pth", type=str, default=None)
         sp.add_argument("--results_dir", type=str, default="results")
+        sp.add_argument("--config_dir", type=str, default=None,
+                        help="directory of editable hyp_*.yaml presets "
+                             "(default: ./configs when present, else "
+                             "built-in presets)")
         sp.add_argument("--exp_id", type=str, default=None,
                         help="experiment id (default: local-<timestamp>)")
         sp.add_argument("--debug_nans", action="store_true",

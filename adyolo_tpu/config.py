@@ -171,6 +171,12 @@ class RunConfig:
     infer_pth: Optional[str] = None
     exp_id: Optional[str] = None
     results_dir: str = "results"
+    # directory of editable hyp_*.yaml presets (reference src/configs/);
+    # defaults to ./configs when present
+    config_dir: Optional[str] = None
+    # experiment-tracking metadata frozen into hyp_exp.yaml so resume can
+    # reconstitute the neptune run (reference train.py:86-91)
+    logging_meta: Optional[Dict[str, Any]] = None
 
 
 @dataclass(frozen=True)
@@ -309,6 +315,13 @@ def build_config(
     """
     args = dict(args or {})
     run = _dataclass_from(RunConfig, args)
+
+    if config_dir is None:
+        config_dir = run.config_dir
+    if config_dir is None and os.path.isdir("configs"):
+        config_dir = "configs"  # shipped presets next to the repo root
+    if config_dir is not None:
+        run = dataclasses.replace(run, config_dir=config_dir)
 
     data_d: Dict[str, Any] = dict(DATASET_PRESETS.get(run.dataset, {}))
     data_d["dataset"] = run.dataset

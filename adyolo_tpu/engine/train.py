@@ -37,7 +37,8 @@ from ..ops.decode import PostProcessor
 from ..parallel.mesh import make_mesh
 from ..parallel.train_step import (build_eval_forward, build_train_step,
                                    init_state, make_batch_placer)
-from ..utils.logging import JsonlLogger, NullLogger
+from ..utils.logging import (JsonlLogger, NullLogger, get_logging_meta_config,
+                             make_logger)
 from ..utils.rng import get_rng_state, seed_init, set_rng_state
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluate import make_frontend, test_epoch, test_model
@@ -103,28 +104,47 @@ def train_model(args: Dict, is_resume: bool = False,
         assert os.path.isdir(output_pth), output_pth
         cfg = load_config(os.path.join(output_pth, "hyp_exp.yaml"))
         assert cfg.args.exp_id == args["resume_pth"]
+        # resume the neptune run recorded in the frozen config
+        # (reference train.py:86-91)
+        neptune_logger = make_logger(cfg.args.logger, cfg.args.logging_meta,
+                                     resume_id=args["resume_pth"])
         key = jax.random.PRNGKey(cfg.args.seed)  # replaced by ckpt restore below
     else:
         from ..config import build_config
 
         cfg = build_config(args, train_overrides=(cfg_overrides or {}).get("train"),
                            data_overrides=(cfg_overrides or {}).get("data"))
-        exp_id = args.get("exp_id") or ("local-" + datetime.now().strftime("%Y%m%d-%H%M%S"))
+        # experiment identity: explicit --exp_id > neptune sys-id >
+        # local-<timestamp> (reference train.py:99-108)
+        meta = get_logging_meta_config(cfg.args.config_dir)
+        cfg = dataclasses.replace(
+            cfg, args=dataclasses.replace(cfg.args, logging_meta=meta))
+        neptune_logger = make_logger(cfg.args.logger, meta)
+        exp_id = (args.get("exp_id")
+                  or (neptune_logger.sys_id if neptune_logger is not None else None)
+                  or ("local-" + datetime.now().strftime("%Y%m%d-%H%M%S")))
         cfg = dataclasses.replace(cfg, args=dataclasses.replace(cfg.args, exp_id=exp_id))
         output_pth = os.path.join(results_dir, exp_id)
         os.makedirs(output_pth, exist_ok=True)
         save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
         key = seed_init(cfg.args.seed)
 
-    logger = (JsonlLogger(os.path.join(output_pth, "logs.jsonl"))
-              if cfg.args.logger else NullLogger())
+    if neptune_logger is not None:
+        logger = neptune_logger
+    elif cfg.args.logger:
+        logger = JsonlLogger(os.path.join(output_pth, "logs.jsonl"))
+    else:
+        logger = NullLogger()
     logger.log_params(flatten_config(cfg))
+    if not is_resume:
+        logger.log("logs/train/conf_thresh", float(cfg.train.conf_thresh))
 
     # ---- data / model / step ----------------------------------------------
     train_ds = SELDDataset(cfg, "train")
     valid_ds = SELDDataset(cfg, "val", is_valid=True)
     test_ds = SELDDataset(cfg, "test", is_valid=True)
-    train_loader = TrainLoader(train_ds, cfg)
+    train_loader = TrainLoader(train_ds, cfg, rank=jax.process_index(),
+                               num_shards=jax.process_count())
     valid_loader = EvalLoader(valid_ds, cfg)
     test_loader = EvalLoader(test_ds, cfg)
 

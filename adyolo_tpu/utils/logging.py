@@ -14,7 +14,46 @@ import os
 import time
 from typing import Any, Dict, Optional
 
-__all__ = ["JsonlLogger", "NullLogger"]
+__all__ = ["JsonlLogger", "NullLogger", "get_logging_meta_config", "make_logger"]
+
+# reference main.py:20-32 fallback when no logging_meta_config.yaml exists
+DEFAULT_LOGGING_META: Dict[str, Any] = {
+    "exp_version": "Untitled",
+    "location_tag": ["local-machine"],
+    "neptune_project": None,
+    "neptune_api_token": None,
+}
+
+
+def get_logging_meta_config(config_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Load ``<config_dir>/logging_meta_config.yaml`` (reference
+    ``main.py:20-32``); missing file or keys fall back to defaults."""
+    path = os.path.join(config_dir or "configs", "logging_meta_config.yaml")
+    meta = dict(DEFAULT_LOGGING_META)
+    if os.path.isfile(path):
+        import yaml
+
+        with open(path, "r") as f:
+            meta.update(yaml.safe_load(f) or {})
+    return meta
+
+
+def make_logger(enabled: bool, meta: Optional[Dict[str, Any]],
+                resume_id: Optional[str] = None):
+    """Construct the neptune logger when ``--logger`` is set AND the meta
+    config names a project/token (reference ``train.py:99-107`` — there a
+    missing configuration raises; here the caller falls back to the local
+    JSONL sink).  Returns a :class:`NeptuneLogger` or ``None``."""
+    if not enabled or not meta:
+        return None
+    if meta.get("neptune_project") and meta.get("neptune_api_token"):
+        from .neptune_adapter import NeptuneLogger
+
+        return NeptuneLogger(meta["neptune_project"], meta["neptune_api_token"],
+                             exp_version=meta.get("exp_version", "Untitled"),
+                             tags=list(meta.get("location_tag") or []),
+                             resume_id=resume_id)
+    return None
 
 
 class NullLogger:
