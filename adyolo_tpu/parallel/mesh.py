@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+           "place_multihost", "globalize_yolo_targets"]
 
 
 def make_mesh(cfg: MeshConfig, devices=None, batch_size: Optional[int] = None) -> Mesh:
@@ -59,14 +60,38 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def shard_batch_multihost(batch: Any, mesh: Mesh) -> Any:
-    """Multi-host input placement: each process contributes its local shard
-    of the global batch (``jax.make_array_from_process_local_data``), so
-    hosts read disjoint file subsets and no cross-host gather happens on
-    the input path.  Single-process setups degrade to :func:`shard_batch`.
+def place_multihost(x: Any, sharding: NamedSharding) -> Any:
+    """Multi-host input placement for one leaf: this process's host array is
+    its local shard of the global array
+    (``jax.make_array_from_process_local_data``), so hosts read disjoint
+    file subsets and no cross-host gather happens on the input path.  For a
+    replicated sharding every process passes the identical full array."""
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def globalize_yolo_targets(targets: np.ndarray, mask: np.ndarray,
+                           rank: int, num_shards: int, local_batch: int,
+                           allgather=None):
+    """Make per-host padded AD-YOLO target rows globally consistent under
+    multi-host DP.
+
+    Each host encodes targets against its *local* batch rows; the loss
+    evaluates them against the *global* batch (rows address grid cells by
+    batch coordinate, train_step.batch_shardings_for keeps them
+    replicated).  So: offset each host's batch-index column by its global
+    row offset, then all-gather rows + masks across processes — every host
+    ends up with the identical ``(P·M, 7)`` replicated tensor.
+    Single-process is the identity.  ``allgather`` is injectable for
+    single-process testing.
     """
-    if jax.process_count() == 1:
-        return shard_batch(batch, mesh)
-    sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, x), batch)
+    if num_shards <= 1:
+        return targets, mask
+    if allgather is None:  # pragma: no cover - needs a real multi-host run
+        from jax.experimental import multihost_utils
+
+        allgather = multihost_utils.process_allgather
+    t = np.array(targets, np.float32, copy=True)
+    t[:, 0] += rank * local_batch  # padding rows are masked; offset is inert
+    gt = np.asarray(allgather(t))  # (P, M, 7), process-ordered
+    gm = np.asarray(allgather(np.asarray(mask)))  # (P, M)
+    return gt.reshape(-1, t.shape[-1]), gm.reshape(-1)
