@@ -27,6 +27,8 @@ def load_reference():
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
 
+    _install_torchvision_stub()
+
     if "torchaudio" not in sys.modules:
         ta = types.ModuleType("torchaudio")
         tat = types.ModuleType("torchaudio.transforms")
@@ -41,6 +43,54 @@ def load_reference():
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tat
     _loaded = True
+
+
+def _install_torchvision_stub():
+    """torchvision is absent from this container; the reference's conformer
+    uses exactly one symbol from it — ``models.resnet.BasicBlock``
+    (resnet_conformer.py:12,355-384) — so a faithful ~30-line functional
+    stand-in (conv3x3(stride)->BN->ReLU->conv3x3->BN (+downsample)->ReLU,
+    torchvision semantics) makes the golden parity test possible."""
+    if "torchvision" in sys.modules:
+        return
+    import torch.nn as tnn
+
+    def conv3x3(inp, out, stride=1, groups=1, dilation=1):
+        return tnn.Conv2d(inp, out, 3, stride=stride, padding=dilation,
+                          groups=groups, bias=False, dilation=dilation)
+
+    class BasicBlock(tnn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or tnn.BatchNorm2d
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvr = types.ModuleType("torchvision.models.resnet")
+    tvr.BasicBlock = BasicBlock
+    tvm.resnet = tvr
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.models.resnet"] = tvr
 
 
 def ref_train_params(nb_classes=13, loss="adyolo", conf=0.5, clss=0.5,

@@ -23,12 +23,17 @@ def random_label(rng, nb_label_frames, nb_classes, n_events=8):
 
 
 def make_synth_dataset(root, sr=24000, nb_classes=13, n_train=12, n_val=2,
-                       n_test=2, train_secs=20, eval_secs=28, seed=0):
-    """Returns the data_pth. Train clips are already 'chunked' (20 s);
-    val/test clips are longer + odd-length to exercise bucketing."""
+                       n_test=2, train_secs=None, eval_secs=28, seed=0,
+                       chunk_window_s=20, audio_format="foa"):
+    """Returns the data_pth. Train clips are already 'chunked'
+    (``chunk_window_s`` seconds; pass a matching data-config override);
+    val/test clips are longer + odd-length to exercise bucketing.
+    ``audio_format='mic'`` writes the mic_dev/ directory layout instead."""
     rng = np.random.default_rng(seed)
-    sub = "dev-train-chunked_20s_1s"
-    for d in (f"foa_dev/{sub}", "foa_dev/dev-val", "foa_dev/dev-test",
+    train_secs = chunk_window_s if train_secs is None else train_secs
+    sub = f"dev-train-chunked_{chunk_window_s}s_1s"
+    adir = f"{audio_format}_dev"
+    for d in (f"{adir}/{sub}", f"{adir}/dev-val", f"{adir}/dev-test",
               f"metadata_dev/{sub}", "metadata_dev/dev-val", "metadata_dev/dev-test"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
@@ -40,11 +45,11 @@ def make_synth_dataset(root, sr=24000, nb_classes=13, n_train=12, n_val=2,
         write_label_csv(os.path.join(root, csv_dir, name + ".csv"), label)
 
     for i in range(n_train):
-        write_clip(f"foa_dev/{sub}", f"metadata_dev/{sub}", f"train{i:03d}_chunk001", train_secs)
+        write_clip(f"{adir}/{sub}", f"metadata_dev/{sub}", f"train{i:03d}_chunk001", train_secs)
     for i in range(n_val):
-        write_clip("foa_dev/dev-val", "metadata_dev/dev-val", f"val{i:03d}", eval_secs + i)
+        write_clip(f"{adir}/dev-val", "metadata_dev/dev-val", f"val{i:03d}", eval_secs + i)
     for i in range(n_test):
-        write_clip("foa_dev/dev-test", "metadata_dev/dev-test", f"test{i:03d}", eval_secs + i)
+        write_clip(f"{adir}/dev-test", "metadata_dev/dev-test", f"test{i:03d}", eval_secs + i)
 
     # classes.txt
     with open(os.path.join(root, "classes.txt"), "w") as f:

