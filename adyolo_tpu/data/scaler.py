@@ -56,20 +56,25 @@ class _Moments:
 
 def compute_scaler_stats(cfg: DataConfig, wav_dir: Optional[str] = None,
                          verbose: bool = True) -> Dict:
-    """Returns the scaler dict {'MEL': {...}, 'IV': {...}} with
-    (1, mel_bins, C)-shaped stats (preprocess.py:116-127 layout)."""
-    wav_dir = wav_dir or os.path.join(cfg.data_pth, "foa_dev", "dev-train")
+    """Returns the scaler dict {'MEL': {...}, 'IV': {...}} (FOA,
+    preprocess.py:116-127 layout) or {'MEL': {...}, 'GCC': {...}} (MIC —
+    absent from the FOA-only reference; GCC-PHAT lag channels are
+    standardized like every other feature, matching the DCASE baseline's
+    whole-stack normalization) with (1, mel_bins, C)-shaped stats."""
+    wav_dir = wav_dir or os.path.join(
+        cfg.data_pth, f"{cfg.audio_format}_dev", "dev-train")
     fe = FeatureFrontend(cfg)
+    aux_key = "IV" if cfg.audio_format == "foa" else "GCC"
     mel_m = _Moments((cfg.mel_bins, 4))
-    iv_m = _Moments((cfg.mel_bins, 3))
+    aux_m = _Moments((cfg.mel_bins, fe.n_aux_channels))
     for name in io.list_clips(wav_dir):
         audio = io.normalize_audio(io.read_wav(os.path.join(wav_dir, name + ".wav")))
-        mel_db, iv = fe.raw_mel_iv(audio[None])
+        mel_db, aux = fe.raw_mel_aux(audio[None])
         mel_m.update(np.asarray(mel_db[0]))
-        iv_m.update(np.asarray(iv[0]))
+        aux_m.update(np.asarray(aux[0]))
         if verbose:
             print(f"scaler: accumulated {name}")
-    return {"MEL": mel_m.finalize(), "IV": iv_m.finalize()}
+    return {"MEL": mel_m.finalize(), aux_key: aux_m.finalize()}
 
 
 def preprocess_scaler(cfg: DataConfig, verbose: bool = True) -> str:

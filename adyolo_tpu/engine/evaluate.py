@@ -52,7 +52,8 @@ def make_frontend(cfg: Config) -> FeatureFrontend:
         print(f"[adyolo_tpu] WARNING: no scaler stats at {pkl}; "
               "using identity normalization (run `preprocess scaler`).",
               file=sys.stderr)
-        scaler = identity_scaler(cfg.data.mel_bins)
+        scaler = identity_scaler(cfg.data.mel_bins,
+                                 n_aux_ch=cfg.data.nb_feature_channels - 4)
     return FeatureFrontend(cfg.data, scaler)
 
 

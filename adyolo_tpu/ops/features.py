@@ -76,22 +76,36 @@ class Scaler:
 
     Layout-compatible with the reference's ``scaler_wts.pkl``
     (``src/preprocess.py:116-130``): dict ``{'MEL': {'mean','std',...},
-    'IV': {...}}`` with arrays shaped ``(1, mel_bins, C)``.
+    'IV': {...}}`` with arrays shaped ``(1, mel_bins, C)``.  For MIC
+    datasets (absent from the FOA-only reference) the auxiliary block is
+    keyed ``'GCC'`` with C = n_pairs lag channels — GCC-PHAT features are
+    standardized exactly like mel/IV (the DCASE baseline also normalizes
+    its full feature stack).
     """
 
-    def __init__(self, mel_mean, mel_std, iv_mean, iv_std):
+    def __init__(self, mel_mean, mel_std, aux_mean, aux_std):
         def prep(a):
             a = np.asarray(a, np.float32)
             return a.reshape(a.shape[-2], a.shape[-1])  # (mel_bins, C)
 
         self.mel_mean = prep(mel_mean)
         self.mel_std = prep(mel_std)
-        self.iv_mean = prep(iv_mean)
-        self.iv_std = prep(iv_std)
+        self.aux_mean = prep(aux_mean)
+        self.aux_std = prep(aux_std)
+
+    # legacy aliases (FOA: the aux block IS the intensity vector)
+    @property
+    def iv_mean(self):
+        return self.aux_mean
+
+    @property
+    def iv_std(self):
+        return self.aux_std
 
     @classmethod
     def from_dict(cls, d: Dict) -> "Scaler":
-        return cls(d["MEL"]["mean"], d["MEL"]["std"], d["IV"]["mean"], d["IV"]["std"])
+        aux = d["IV"] if "IV" in d else d["GCC"]
+        return cls(d["MEL"]["mean"], d["MEL"]["std"], aux["mean"], aux["std"])
 
     @classmethod
     def from_pickle(cls, path: str) -> "Scaler":
@@ -101,11 +115,11 @@ class Scaler:
             return cls.from_dict(pickle.load(f))
 
 
-def identity_scaler(mel_bins: int, n_mel_ch: int = 4, n_iv_ch: int = 3) -> Scaler:
+def identity_scaler(mel_bins: int, n_mel_ch: int = 4, n_aux_ch: int = 3) -> Scaler:
     z = np.zeros((1, mel_bins, n_mel_ch), np.float32)
     o = np.ones((1, mel_bins, n_mel_ch), np.float32)
-    zi = np.zeros((1, mel_bins, n_iv_ch), np.float32)
-    oi = np.ones((1, mel_bins, n_iv_ch), np.float32)
+    zi = np.zeros((1, mel_bins, n_aux_ch), np.float32)
+    oi = np.ones((1, mel_bins, n_aux_ch), np.float32)
     return Scaler(z, o, zi, oi)
 
 
@@ -196,18 +210,33 @@ class FeatureFrontend:
         self._w_im = jnp.asarray(w_im)
         mel = mel_filterbank(data_cfg.sr, data_cfg.n_fft, data_cfg.mel_bins)
         self._mel_t = jnp.asarray(mel.T)  # (K, mel_bins)
+        self.n_aux_channels = data_cfg.nb_feature_channels - 4  # IV 3 / GCC 6
         if scaler is None:
-            scaler = identity_scaler(data_cfg.mel_bins)
+            scaler = identity_scaler(data_cfg.mel_bins,
+                                     n_aux_ch=self.n_aux_channels)
         self.set_scaler(scaler)
         # scaler stats are passed as runtime args (not closed over) so that
         # set_scaler() takes effect without retracing issues.
         self._jit = jax.jit(self._forward)
 
     def set_scaler(self, scaler: Scaler) -> None:
+        assert scaler.aux_mean.shape[-1] == self.n_aux_channels, (
+            f"scaler aux stats have {scaler.aux_mean.shape[-1]} channels but "
+            f"audio_format={self.cfg.audio_format!r} needs "
+            f"{self.n_aux_channels} (IV=3 / GCC=6) — wrong scaler_wts.pkl?")
         self._mel_mean = jnp.asarray(scaler.mel_mean)  # (mel, 4)
         self._mel_std = jnp.asarray(scaler.mel_std)
-        self._iv_mean = jnp.asarray(scaler.iv_mean)  # (mel, 3)
-        self._iv_std = jnp.asarray(scaler.iv_std)
+        self._aux_mean = jnp.asarray(scaler.aux_mean)  # (mel, 3|6)
+        self._aux_std = jnp.asarray(scaler.aux_std)
+
+    # legacy attribute names (FOA: aux == intensity vector)
+    @property
+    def _iv_mean(self):
+        return self._aux_mean
+
+    @property
+    def _iv_std(self):
+        return self._aux_std
 
     # -- unnormalized parts (used by the scaler-stats pipeline) -------------
 
@@ -215,7 +244,7 @@ class FeatureFrontend:
         return _stft_re_im(audio, self.cfg.n_fft, self.cfg.hop_length,
                            self._w_re, self._w_im)
 
-    def _forward(self, audio, valid_frames, mel_mean, mel_std, iv_mean, iv_std):
+    def _forward(self, audio, valid_frames, mel_mean, mel_std, aux_mean, aux_std):
         re, im = _stft_re_im(audio, self.cfg.n_fft, self.cfg.hop_length,
                              self._w_re, self._w_im)
         B, T = re.shape[0], re.shape[1]
@@ -228,12 +257,11 @@ class FeatureFrontend:
         mel_db = (mel_db - mel_mean) / mel_std
 
         if self.cfg.audio_format == "foa":
-            iv = _foa_iv(re, im, self._mel_t)  # (B,T,mel,3)
-            iv = (iv - iv_mean) / iv_std
-            feat = jnp.concatenate([mel_db, iv], axis=-1)
+            aux = _foa_iv(re, im, self._mel_t)  # (B,T,mel,3)
         else:  # mic
-            gcc = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
-            feat = jnp.concatenate([mel_db, gcc], axis=-1)
+            aux = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
+        aux = (aux - aux_mean) / aux_std
+        feat = jnp.concatenate([mel_db, aux], axis=-1)
 
         if frame_mask is not None:
             feat = feat * frame_mask[:, :, None, None]
@@ -241,12 +269,19 @@ class FeatureFrontend:
 
     def __call__(self, audio, valid_frames=None):
         return self._jit(audio, valid_frames, self._mel_mean, self._mel_std,
-                         self._iv_mean, self._iv_std)
+                         self._aux_mean, self._aux_std)
 
-    def raw_mel_iv(self, audio):
-        """Unnormalized (mel_db, iv) — the quantities the scaler-stats pass
+    def raw_mel_aux(self, audio):
+        """Unnormalized (mel_db, aux) where aux is the FOA intensity vector
+        or the MIC GCC-PHAT block — the quantities the scaler-stats pass
         accumulates (``src/preprocess.py:87-130``)."""
         re, im = self.stft(audio)
         mel_db = _logmel(re, im, self._mel_t, None)
-        iv = _foa_iv(re, im, self._mel_t)
-        return mel_db, iv
+        if self.cfg.audio_format == "foa":
+            aux = _foa_iv(re, im, self._mel_t)
+        else:
+            aux = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
+        return mel_db, aux
+
+    # legacy name (FOA only)
+    raw_mel_iv = raw_mel_aux

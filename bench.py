@@ -68,7 +68,7 @@ def main() -> None:
         @jax.jit
         def fwd(variables, audio):
             feat = fe._forward(audio, None, fe._mel_mean, fe._mel_std,
-                               fe._iv_mean, fe._iv_std)
+                               fe._aux_mean, fe._aux_std)
             return mdl.apply(variables, feat, False)
 
         return fwd
