@@ -176,6 +176,10 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
             donate_argnums=(0,),
         )
 
+    def scaler_args():
+        return (frontend._mel_mean, frontend._mel_std,
+                frontend._aux_mean, frontend._aux_std)
+
     def train_step(state, batch, key):
         # scaler stats are read from the frontend at *call* time (like the
         # eval path) so ``frontend.set_scaler()`` after the step is built
@@ -184,6 +188,9 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
                         (frontend._mel_mean, frontend._mel_std,
                          frontend._aux_mean, frontend._aux_std))
 
+    # expose the underlying jit for AOT cost analysis (bench MFU accounting)
+    train_step.jit_step = jit_step
+    train_step.scaler_args = scaler_args
     return train_step
 
 

@@ -16,7 +16,48 @@ import contextlib
 import time
 from typing import Callable, Dict, Iterator, Optional
 
-__all__ = ["trace", "PhaseTimer", "throughput_audio_s", "benchmark"]
+__all__ = ["trace", "PhaseTimer", "throughput_audio_s", "benchmark",
+           "compiled_flops", "device_peak_flops", "mfu"]
+
+# Dense peak FLOP/s by device kind (bf16 MXU peak — the number MFU is
+# conventionally quoted against; f32-precision matmuls use multi-pass
+# bf16 and land proportionally lower).
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    """Dense bf16 peak FLOP/s of the device, or None when unknown."""
+    import jax
+
+    device = device or jax.devices()[0]
+    return _PEAK_FLOPS.get(getattr(device, "device_kind", ""), None)
+
+
+def compiled_flops(jitted, *args, **kwargs) -> Optional[float]:
+    """Analytic FLOPs of one invocation from XLA's compiled cost analysis."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def mfu(flops_per_step: Optional[float], step_seconds: float,
+        device=None) -> Optional[float]:
+    """Model FLOPs utilization: achieved/peak, or None when either side
+    is unknown."""
+    peak = device_peak_flops(device)
+    if not flops_per_step or not peak:
+        return None
+    return flops_per_step / step_seconds / peak
 
 
 @contextlib.contextmanager

@@ -29,10 +29,17 @@ def _bench(fn, *args, iters=20, warmup=3):
     return benchmark(fn, *args, iters=iters, warmup=warmup)
 
 
-def _emit(metric, value, unit, vs_baseline=None):
+def _emit(metric, value, unit, vs_baseline=None, flops=None, dt=None):
     rec = {"metric": metric, "value": round(float(value), 3), "unit": unit}
     if vs_baseline is not None:
         rec["vs_baseline"] = round(float(vs_baseline), 3)
+    if flops is not None and dt is not None:
+        from adyolo_tpu.utils.profiling import mfu
+
+        rec["tflops_per_s"] = round(flops / dt / 1e12, 3)
+        m = mfu(flops, dt)
+        if m is not None:
+            rec["mfu"] = round(m, 4)
     print(json.dumps(rec))
 
 
@@ -76,9 +83,12 @@ def main() -> None:
     fwd = make_fwd(frontend, model)
 
     # ---- headline: features+forward throughput ---------------------------
+    from adyolo_tpu.utils.profiling import compiled_flops
+
     dt = _bench(fwd, variables, audio16)
     _emit("audio-sec/sec/chip (features+forward, se-resnet34+adyolo)",
-          B * secs / dt, "audio_s/s", (B * secs / dt) / 500.0)
+          B * secs / dt, "audio_s/s", (B * secs / dt) / 500.0,
+          flops=compiled_flops(fwd, variables, audio16), dt=dt)
 
     if not run_all:
         return
@@ -93,7 +103,7 @@ def main() -> None:
     for _ in range(20):
         t0 = time.perf_counter()
         out = fwd(variables, audio1)
-        pp.postprocess(np.asarray(out))
+        pp.postprocess(out)
         lat.append(time.perf_counter() - t0)
     _emit("p50 per-clip infer latency (fwd+decode, 20 s clip)",
           float(np.percentile(lat, 50) * 1e3), "ms")
@@ -140,22 +150,32 @@ def main() -> None:
     targets, mask = pad_yolo_targets(per_clip, 8192)
     audio32 = jax.device_put(
         (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
-    state = init_state(cfg32, model, frontend, jax.random.PRNGKey(0))
-    step = build_train_step(cfg32, model, frontend, None)
-    place = make_batch_placer(cfg32, None)
-    batch = place({"audio": audio32, "targets": targets, "target_mask": mask})
-    key = jax.random.PRNGKey(1)
-    s = state
-    for _ in range(3):
-        s, loss = step(s, batch, key)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    N = 15
-    for _ in range(N):
-        s, loss = step(s, batch, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / N
-    _emit("train-step throughput (fwd+bwd+adam, B=32)", B32 * secs / dt, "audio_s/s")
+    def bench_train_step(cfg_b, label):
+        mdl = build_model(cfg_b)
+        state = init_state(cfg_b, mdl, frontend, jax.random.PRNGKey(0))
+        step = build_train_step(cfg_b, mdl, frontend, None)
+        place = make_batch_placer(cfg_b, None)
+        batch = place({"audio": audio32, "targets": targets, "target_mask": mask})
+        key = jax.random.PRNGKey(1)
+        flops = compiled_flops(step.jit_step, state, batch, key,
+                               step.scaler_args())
+        s = state
+        for _ in range(3):
+            s, loss = step(s, batch, key)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        N = 15
+        for _ in range(N):
+            s, loss = step(s, batch, key)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / N
+        _emit(label, B32 * secs / dt, "audio_s/s", flops=flops, dt=dt)
+
+    bench_train_step(cfg32, "train-step throughput (fwd+bwd+adam, B=32)")
+    cfg32bf = dataclasses.replace(cfg32, train=dataclasses.replace(
+        cfg32.train, compute_dtype="bfloat16"))
+    bench_train_step(cfg32bf,
+                     "train-step throughput (fwd+bwd+adam, B=32, bf16 compute)")
 
     # ---- config 5: multi-format eval forward ------------------------------
     for loss_nm in ("accdoa", "adyolo"):
