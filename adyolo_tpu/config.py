@@ -149,8 +149,11 @@ class TrainConfig:
     max_targets_per_clip: int = 4096
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv/matmul
     # per-frame candidate cap for the device-side AD-YOLO decode compaction
-    # (0 = ship the full grid); exactness is guarded at decode time
-    decode_topk: int = 64
+    # (0 = ship the full grid); exactness is guarded at decode time — the
+    # host re-decodes the full grid whenever the k-th candidate still
+    # clears the confidence threshold.  16 >> max real polyphony and cuts
+    # the device->host transfer 10x vs the full 160-anchor grid.
+    decode_topk: int = 16
 
 
 @dataclass(frozen=True)
@@ -243,11 +246,24 @@ def _dataclass_from(cls, d: Dict[str, Any]):
 
 
 def config_to_yaml(cfg: Config) -> str:
-    """Serialize the frozen experiment config (reference:
-    ``config_writer``, utility.py:84-90 — ruamel commented YAML there;
-    plain YAML here)."""
-    d = _asdict(cfg)
-    return yaml.safe_dump(d, sort_keys=False)
+    """Serialize the frozen experiment config.
+
+    The reference separates the top-level sections with blank lines via
+    ruamel (``config_writer``, utility.py:84-90); here each section also
+    gets a header comment — same human-editable intent, stdlib yaml only.
+    """
+    titles = {
+        "args": "CLI arguments (reference src/main.py:36-56)",
+        "data": "dataset geometry (reference configs/hyp_data_*.yaml)",
+        "aug": "augmentation (reference configs/hyp_augmentation.yaml)",
+        "train": "training hyperparameters (reference configs/hyp_train.yaml)",
+        "mesh": "device-mesh layout (TPU addition; no reference counterpart)",
+    }
+    parts = []
+    for key, val in _asdict(cfg).items():
+        parts.append(f"# ---- {titles.get(key, key)}\n"
+                     + yaml.safe_dump({key: val}, sort_keys=False))
+    return "\n".join(parts)
 
 
 def config_from_yaml(text: str) -> Config:

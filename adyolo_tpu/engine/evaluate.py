@@ -74,10 +74,9 @@ def test_epoch(
         out = eval_fwd(state.params, state.batch_stats,
                        jnp.asarray(item["audio"]),
                        jnp.asarray(item["valid_feat_frames"]))
-        out_np = np.asarray(out)
         t_valid = item["nb_label_frames"]
         if criterion is not None and "targets" in item:
-            trimmed = jnp.asarray(out_np[:, :t_valid])
+            trimmed = out[:, :t_valid]  # device slice; criterion is eager jax
             if "target_mask" in item:
                 loss = criterion(trimmed, jnp.asarray(item["targets"]),
                                  jnp.asarray(item["target_mask"]))
@@ -85,9 +84,39 @@ def test_epoch(
                 loss = criterion(trimmed, jnp.asarray(item["targets"][:, :t_valid]), None)
             total_loss += float(loss)
             n += 1
-        dets = postprocessor.postprocess(out_np, valid_label_frames=t_valid)
+        # the output stays ON DEVICE: the adyolo decode runs there and only
+        # the compact candidate set crosses to the host (the full logits
+        # are ~8 MB/clip; dense formats are small and convert internally)
+        dets = postprocessor.postprocess(out, valid_label_frames=t_valid)
         write_seld_output_csv(os.path.join(output_pth, item["name"] + ".csv"), dets)
     return total_loss / max(n, 1)
+
+
+def cached_eval_outputs(loader, state: TrainState, eval_fwd: Callable,
+                        postprocessor: PostProcessor):
+    """Forward every clip ONCE and return decode-ready caches
+    ``[(name, cache, nb_label_frames)]`` for re-decoding under many
+    thresholds.  The τ-arbitration scans 9 thresholds (train.py:178-206);
+    re-running the model forward 9x is pure waste — only the host decode
+    depends on τ."""
+    items = []
+    for item in loader:
+        out = eval_fwd(state.params, state.batch_stats,
+                       jnp.asarray(item["audio"]),
+                       jnp.asarray(item["valid_feat_frames"]))
+        items.append((item["name"], postprocessor.candidates(out),
+                      item["nb_label_frames"]))
+    return items
+
+
+def decode_cached_to_csv(cached_items, postprocessor: PostProcessor,
+                         output_pth: str) -> None:
+    """Host decode + CSV emit from cached outputs (same artifacts as
+    :func:`test_epoch`, minus the forward and the loss)."""
+    delete_and_create_folder(output_pth)
+    for name, cache, t_valid in cached_items:
+        dets = postprocessor.postprocess_cached(cache, valid_label_frames=t_valid)
+        write_seld_output_csv(os.path.join(output_pth, name + ".csv"), dets)
 
 
 def _print_scores(tag: str, scores) -> None:

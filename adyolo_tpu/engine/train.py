@@ -41,7 +41,8 @@ from ..utils.logging import (JsonlLogger, NullLogger, get_logging_meta_config,
                              make_logger)
 from ..utils.rng import get_rng_state, seed_init, set_rng_state
 from .checkpoint import load_checkpoint, save_checkpoint
-from .evaluate import make_frontend, test_epoch, test_model
+from .evaluate import (cached_eval_outputs, decode_cached_to_csv,
+                       make_frontend, test_epoch, test_model)
 
 __all__ = ["train_model", "train_one_epoch"]
 
@@ -242,14 +243,16 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
             return True
         train_ds.resample_epoch()
 
-        # dynamic conf-threshold arbitration (train.py:178-206)
+        # dynamic conf-threshold arbitration (train.py:178-206) — the model
+        # forward runs ONCE; the 9 τ candidates differ only in host decode
         if not cfg.args.fix_thresh and epoch % 10 == 0:
             print("resetting confidence threshold per each 10th epoch:")
             best_tau_seld, new_thresh = 9999.0, postprocessor.get_conf_thresh()
+            cached = cached_eval_outputs(valid_loader, state, eval_fwd, postprocessor)
             for tau in np.arange(0.1, 1.0, 0.1):
                 postprocessor.set_conf_thresh(float(tau))
-                test_epoch(valid_loader, state, eval_fwd, criterion, postprocessor,
-                           os.path.join(output_pth, "output_val"))
+                decode_cached_to_csv(cached, postprocessor,
+                                     os.path.join(output_pth, "output_val"))
                 scores = val_scorer.get_SELD_Results(os.path.join(output_pth, "output_val"))
                 print(f"\tconf_thresh {tau:0.1f} - ER {scores[0]:0.4f}, "
                       f"F {scores[1] * 100:0.2f}, LE {scores[2]:0.2f}, "

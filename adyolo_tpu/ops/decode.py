@@ -26,6 +26,7 @@ import numpy as np
 from ..config import Config
 from ..ops.grid import GridGeometry
 from ..models.losses import adyolo_decode_grid
+from . import nms_native
 
 __all__ = ["PostProcessor"]
 
@@ -155,6 +156,10 @@ def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: i
     by G0*G1*A/k.  Exact whenever at most k anchors clear the confidence
     threshold — the host checks the k-th value and falls back to the full
     grid otherwise (only plausible with untrained models).
+
+    Returns one PACKED array (B, T, k, 1+K+2) = [obj ‖ cls ‖ uv] plus the
+    max k-th objectness (truncation-guard scalar), so a single
+    device->host transfer + one scalar sync covers the whole decode.
     """
     cls, obj, uv = _adyolo_device_decode(logits, geom, nb_classes)
     B, T = obj.shape[:2]
@@ -163,7 +168,8 @@ def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: i
     cls_k = jnp.take_along_axis(cls.reshape(B, T, -1, nb_classes),
                                 idx[..., None], axis=2)
     uv_k = jnp.take_along_axis(uv.reshape(B, T, -1, 2), idx[..., None], axis=2)
-    return cls_k, val, uv_k
+    packed = jnp.concatenate([val[..., None], cls_k, uv_k], axis=-1)
+    return packed, jnp.max(val[..., -1])
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +194,9 @@ class PostProcessor:
             self.geom = GridGeometry(tuple(cfg.train.grid_size), cfg.train.g_overlap,
                                      cfg.train.nb_anchors)
             self.decode_topk = int(getattr(cfg.train, "decode_topk", 64))
+            # native per-frame NMS kernel (numpy path stays as fallback +
+            # test oracle)
+            self._use_native = nms_native.available()
 
     # conf-threshold arbitration hooks (datasets.py:529-534)
     def get_conf_thresh(self) -> float:
@@ -292,34 +301,51 @@ class PostProcessor:
 
     # -- AD-YOLO (datasets.py:741-855) --------------------------------------
 
-    def _adyolo(self, output, valid):
+    def adyolo_candidates(self, output, min_conf: Optional[float] = None):
+        """Device decode + top-k compaction -> host candidate arrays
+        ``(cls_conf (T,n,K), obj_conf (T,n), uv (T,n,2))``.
+
+        ``min_conf`` bounds the truncation guard when the candidates will be
+        re-decoded under several thresholds (τ-arbitration caching): pass
+        the smallest τ of the scan so the compaction stays exact for all of
+        them.
+        """
         logits = jnp.asarray(output)
+        guard = self.conf_thresh if min_conf is None else float(min_conf)
         n_anchors = self.geom.nb_predicts
+        T_full = logits.shape[1]
+        K = self.nb_classes
         k = min(self.decode_topk, n_anchors) if self.decode_topk else n_anchors
         if k < n_anchors:
-            cls_conf, obj_conf, uv = _adyolo_device_decode_topk(
-                logits, self.geom, self.nb_classes, k)
-            # truncation guard: if the k-th candidate still clears the
-            # threshold somewhere, redo with the full grid
-            if float(jnp.max(obj_conf[..., -1])) > self.conf_thresh:
-                cls_conf, obj_conf, uv = _adyolo_device_decode(
-                    logits, self.geom, self.nb_classes)
-        else:
-            cls_conf, obj_conf, uv = _adyolo_device_decode(
-                logits, self.geom, self.nb_classes)
-        # flatten any grid layout to (T, n_cand, ...)
-        cls_conf = np.asarray(cls_conf[0]).reshape(logits.shape[1], -1, self.nb_classes)
-        obj_conf = np.asarray(obj_conf[0]).reshape(logits.shape[1], -1)
-        uv = np.asarray(uv[0]).reshape(logits.shape[1], -1, 2)
+            packed, _ = _adyolo_device_decode_topk(logits, self.geom, K, k)
+            p = np.asarray(packed[0])  # ONE transfer: (T, k, 1+K+2)
+            # truncation guard (host-side, no extra sync): if the k-th
+            # candidate still clears the threshold somewhere, redo with
+            # the full grid
+            if float(p[:, -1, 0].max()) <= guard:
+                return p[..., 1:K + 1], p[..., 0], p[..., K + 1:]
+        cls_conf, obj_conf, uv = _adyolo_device_decode(
+            logits, self.geom, K)
+        cls_conf = np.asarray(cls_conf[0]).reshape(T_full, -1, K)
+        obj_conf = np.asarray(obj_conf[0]).reshape(T_full, -1)
+        uv = np.asarray(uv[0]).reshape(T_full, -1, 2)
+        return cls_conf, obj_conf, uv
+
+    def _adyolo_from_candidates(self, cands, valid):
+        cls_conf, obj_conf, uv = cands
         T = cls_conf.shape[0]
         if valid is not None:
             T = min(T, valid)
 
+        # vectorized confidence filter: one pass over (T, n_cand), then a
+        # python loop over *active* frames only (long mostly-quiet clips
+        # previously paid O(T) host work regardless of content)
+        sel_all = obj_conf[:T] > self.conf_thresh
+        active = np.nonzero(sel_all.any(axis=1))[0]
+
         res: Dict[int, List] = {}
-        for t in range(T):
-            sel = obj_conf[t] > self.conf_thresh  # (n_cand,)
-            if not sel.any():
-                continue
+        for t in active:
+            sel = sel_all[t]  # (n_cand,)
             cand_cls = cls_conf[t][sel]  # (n, K)
             cand_uv = uv[t][sel]  # (n, 2)
             i, j = np.nonzero(cand_cls > self.clss_thresh)
@@ -331,6 +357,14 @@ class PostProcessor:
             )  # (n_det, [class, class_conf, U, V])
             rows = rows[np.argsort(-rows[:, 1], kind="stable")]
 
+            if self._use_native:
+                native = nms_native.nms_frame(rows, self.nms, self.unify_thresh,
+                                              self.clss_thresh)
+                if native is not None:
+                    if len(native):
+                        res[int(t)] = native.tolist()
+                    continue
+
             dets: List[np.ndarray] = []
             for cls_idx in np.unique(rows[:, 0]):
                 co = rows[rows[:, 0] == cls_idx]
@@ -341,5 +375,23 @@ class PostProcessor:
                 else:
                     dets.extend(_nms_default(co, self.unify_thresh))
             if dets:
-                res[t] = np.concatenate(dets, axis=0).tolist()
+                res[int(t)] = np.concatenate(dets, axis=0).tolist()
         return res
+
+    def _adyolo(self, output, valid):
+        return self._adyolo_from_candidates(self.adyolo_candidates(output), valid)
+
+    # -- cached decode (τ-arbitration: forward once, re-decode per τ) -------
+
+    def candidates(self, output):
+        """Decode-ready cache of one clip's output: for adyolo the compact
+        device-decoded candidate set (guarded for the full τ∈[0.1,0.9]
+        scan); for dense formats the raw output array (small)."""
+        if self.loss == "adyolo":
+            return self.adyolo_candidates(output, min_conf=0.1)
+        return np.asarray(output)
+
+    def postprocess_cached(self, cached, valid_label_frames: Optional[int] = None) -> Dict:
+        if self.loss == "adyolo":
+            return self._adyolo_from_candidates(cached, valid_label_frames)
+        return self.postprocess(cached, valid_label_frames)

@@ -169,3 +169,58 @@ def test_conn_merge_votes_nearby_detections():
     assert 10.0 < azi_out < 16.0  # between the two, nearer the confident one
     assert azi_out < 13.0
     np.testing.assert_allclose(np.linalg.norm(rows[0, 1:]), 1.0, atol=1e-6)
+
+
+def test_cached_decode_matches_direct_across_taus():
+    """candidates() + postprocess_cached() must reproduce postprocess()
+    exactly for every τ in the arbitration scan (the cache is built once
+    with the scan's minimum τ guarding top-k truncation)."""
+    rng = np.random.default_rng(3)
+    T = 12
+    # realistic mixed logits: mostly quiet frames + a few confident events
+    x = rng.standard_normal((1, T, GEOM.nb_predicts // 5 * 5 * (K + 3))) * 2.0
+    x = x.reshape(1, T, -1).astype(np.float32)
+    pp = PostProcessor(_cfg("adyolo"))
+    cache = pp.candidates(x)
+    for tau in np.arange(0.1, 1.0, 0.1):
+        pp.set_conf_thresh(float(tau))
+        direct = pp.postprocess(x, valid_label_frames=T)
+        cached = pp.postprocess_cached(cache, valid_label_frames=T)
+        assert direct == cached, tau
+
+
+def test_cached_decode_dense_formats():
+    rng = np.random.default_rng(4)
+    for loss in ("seddoa", "accdoa", "adpit"):
+        pp = PostProcessor(_cfg(loss))
+        D = {"seddoa": 4 * K, "accdoa": 3 * K, "adpit": 9 * K}[loss]
+        out = rng.uniform(-1, 1, (1, 8, D)).astype(np.float32)
+        cache = pp.candidates(out)
+        assert pp.postprocess_cached(cache, 8) == pp.postprocess(out, 8)
+
+
+@pytest.mark.parametrize("nms", ["conn-merge", "soft-merge", "default"])
+def test_native_nms_matches_numpy(nms):
+    """native/nms.cpp must reproduce the numpy NMS bit-for-bit across all
+    three modes on dense saturated candidates (the worst case it exists
+    to accelerate)."""
+    from adyolo_tpu.ops import nms_native
+
+    if not nms_native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7)
+    T = 6
+    x = (rng.standard_normal((1, T, GEOM.nb_predicts * (K + 3))) * 2.0).astype(np.float32)
+    pp = PostProcessor(_cfg("adyolo", nms))
+    for tau in (0.1, 0.5):
+        pp.set_conf_thresh(tau)
+        pp._use_native = True
+        got = pp.postprocess(x, valid_label_frames=T)
+        pp._use_native = False
+        want = pp.postprocess(x, valid_label_frames=T)
+        assert got.keys() == want.keys()
+        for t in want:
+            g, w = np.asarray(got[t]), np.asarray(want[t])
+            assert g.shape == w.shape, (t, g.shape, w.shape)
+            # identical math modulo C library trig rounding (~1e-16)
+            np.testing.assert_allclose(g, w, rtol=0, atol=1e-9)
