@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--lr", type=float, default=None)
         sp.add_argument("--optim", type=str, default=None)
         sp.add_argument("--nms", type=str, default=None)
+        sp.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="train-step conv/matmul dtype (bfloat16 is "
+                             "~1.7x faster on TPU; eval always runs f32)")
 
     for action in ("train", "val", "test", "infer"):
         sp = sub.add_parser(action)

@@ -74,6 +74,15 @@ def test_quick_train_end_to_end(synth_root, tmp_path):
     assert len(os.listdir(os.path.join(exp, "output_val"))) == 2
     assert len(os.listdir(os.path.join(exp, "output_eval"))) == 2
 
+    # label-free wav-folder inference (the reference's *intended* infer
+    # behavior; its own call crashes — SURVEY.md §3.5)
+    from adyolo_tpu.engine.evaluate import test_model as run_test_model
+
+    run_test_model({"action": "infer", "eval_pth": "exp-test",
+                    "infer_pth": os.path.join(synth_root, "foa_dev", "dev-val")},
+                   results_dir=results)
+    assert len(os.listdir(os.path.join(exp, "output_infer"))) == 2
+
 
 @pytest.mark.slow
 def test_resume_continues(synth_root, tmp_path):
