@@ -258,45 +258,48 @@ class PostProcessor:
         tracks = out.reshape(T, 3, 3, K)  # (T, track, xyz, class)
         act = np.sqrt((tracks ** 2).sum(axis=2)) > self.conf_thresh  # (T, 3, K)
 
-        def dist(t, i, j, c):
-            a = tracks[t, i, :, c]
-            b = tracks[t, j, :, c]
-            na = np.sqrt((a ** 2).sum() + 1e-10)
-            nb = np.sqrt((b ** 2).sum() + 1e-10)
-            cosv = np.clip((a / na * (b / nb)).sum(), -1, 1)
-            return np.degrees(np.arccos(cosv))
+        # vectorized pairwise track distances + similarity flags over the
+        # whole clip; the python loop below only visits ACTIVE (t, c)
+        # pairs (long mostly-quiet clips previously paid O(T*K) python)
+        norm = tracks / np.sqrt((tracks ** 2).sum(axis=2, keepdims=True) + 1e-10)
+        pair_cos = {}
+        for (i, j) in ((0, 1), (1, 2), (2, 0)):
+            cosv = np.clip((norm[:, i] * norm[:, j]).sum(axis=1), -1, 1)
+            pair_cos[(i, j)] = np.degrees(np.arccos(cosv))  # (T, K)
+        sim01 = act[:, 0] & act[:, 1] & (pair_cos[(0, 1)] < self.unify_thresh)
+        sim12 = act[:, 1] & act[:, 2] & (pair_cos[(1, 2)] < self.unify_thresh)
+        sim20 = act[:, 2] & act[:, 0] & (pair_cos[(2, 0)] < self.unify_thresh)
 
         res: Dict[int, List] = {}
 
         def emit(t, c, xyz):
             res.setdefault(int(t), []).append([int(c)] + [float(v) for v in xyz])
 
-        for t in range(T):
-            for c in range(K):
-                a0, a1, a2 = act[t, 0, c], act[t, 1, c], act[t, 2, c]
-                f01 = bool(a0 and a1 and dist(t, 0, 1, c) < self.unify_thresh)
-                f12 = bool(a1 and a2 and dist(t, 1, 2, c) < self.unify_thresh)
-                f20 = bool(a2 and a0 and dist(t, 2, 0, c) < self.unify_thresh)
-                n_sim = f01 + f12 + f20
-                if n_sim == 0:
-                    for i, ai in enumerate((a0, a1, a2)):
-                        if ai:
-                            emit(t, c, tracks[t, i, :, c])
-                elif n_sim == 1:
-                    if f01:
-                        if a2:
-                            emit(t, c, tracks[t, 2, :, c])
-                        emit(t, c, (tracks[t, 0, :, c] + tracks[t, 1, :, c]) / 2)
-                    elif f12:
-                        if a0:
-                            emit(t, c, tracks[t, 0, :, c])
-                        emit(t, c, (tracks[t, 1, :, c] + tracks[t, 2, :, c]) / 2)
-                    else:  # f20
-                        if a1:
-                            emit(t, c, tracks[t, 1, :, c])
-                        emit(t, c, (tracks[t, 2, :, c] + tracks[t, 0, :, c]) / 2)
-                else:  # all tracks agree -> single unconditional average
-                    emit(t, c, (tracks[t, 0, :, c] + tracks[t, 1, :, c] + tracks[t, 2, :, c]) / 3)
+        for t, c in zip(*np.nonzero(act.any(axis=1))):
+            a0, a1, a2 = act[t, 0, c], act[t, 1, c], act[t, 2, c]
+            f01 = bool(sim01[t, c])
+            f12 = bool(sim12[t, c])
+            f20 = bool(sim20[t, c])
+            n_sim = f01 + f12 + f20
+            if n_sim == 0:
+                for i, ai in enumerate((a0, a1, a2)):
+                    if ai:
+                        emit(t, c, tracks[t, i, :, c])
+            elif n_sim == 1:
+                if f01:
+                    if a2:
+                        emit(t, c, tracks[t, 2, :, c])
+                    emit(t, c, (tracks[t, 0, :, c] + tracks[t, 1, :, c]) / 2)
+                elif f12:
+                    if a0:
+                        emit(t, c, tracks[t, 0, :, c])
+                    emit(t, c, (tracks[t, 1, :, c] + tracks[t, 2, :, c]) / 2)
+                else:  # f20
+                    if a1:
+                        emit(t, c, tracks[t, 1, :, c])
+                    emit(t, c, (tracks[t, 2, :, c] + tracks[t, 0, :, c]) / 2)
+            else:  # all tracks agree -> single unconditional average
+                emit(t, c, (tracks[t, 0, :, c] + tracks[t, 1, :, c] + tracks[t, 2, :, c]) / 3)
         return res
 
     # -- AD-YOLO (datasets.py:741-855) --------------------------------------
