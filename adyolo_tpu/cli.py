@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("task", choices=["chunking", "scaler"])
     pp.add_argument("--dataset", type=str, required=True,
                     choices=["DCASE2020", "DCASE2021", "DCASE2022", "all"])
+    pp.add_argument("--config_dir", type=str, default=None,
+                    help="same preset directory the train action uses, so "
+                         "preprocessing and training share one data config")
     return p
 
 
@@ -79,14 +82,18 @@ def main(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     if args.action == "preprocess":
-        from .config import DATASET_PRESETS, DataConfig, _dataclass_from
+        from .config import build_config
         from .data.chunking import preprocess_chunking
         from .data.scaler import preprocess_scaler
 
         datasets = (["DCASE2020", "DCASE2021", "DCASE2022"]
                     if args.dataset == "all" else [args.dataset])
         for ds in datasets:
-            dcfg = _dataclass_from(DataConfig, {**DATASET_PRESETS[ds], "dataset": ds})
+            # resolve through the same three-tier merge train uses so an
+            # edited hyp_data_*.yaml (mel bins, audio format, paths) feeds
+            # identical geometry into preprocessing and training
+            dcfg = build_config({"dataset": ds,
+                                 "config_dir": args.config_dir}).data
             if args.task == "chunking":
                 n = preprocess_chunking(dcfg)
                 print(f"{ds}: wrote {n} chunks")

@@ -309,6 +309,21 @@ def flatten_config(cfg: Config) -> Dict[str, Any]:
 # Builder
 # ---------------------------------------------------------------------------
 
+_noticed_config_dirs: set = set()
+
+
+def _notice_config_dir(config_dir: str, files) -> None:
+    """One stderr line per (process, dir) so an auto-picked ./configs never
+    silently hijacks hyperparameters from an unrelated working directory."""
+    key = os.path.abspath(config_dir)
+    if key in _noticed_config_dirs:
+        return
+    _noticed_config_dirs.add(key)
+    import sys
+
+    print(f"[adyolo_tpu] loading config presets from {key}: "
+          f"{', '.join(files)}", file=sys.stderr)
+
 
 def build_config(
     args: Optional[Dict[str, Any]] = None,
@@ -345,6 +360,7 @@ def build_config(
     train_d: Dict[str, Any] = {}
 
     if config_dir:
+        loaded_files = []
         for name, target in (
             (f"hyp_data_{run.dataset}.yaml", data_d),
             ("hyp_augmentation.yaml", aug_d),
@@ -355,6 +371,9 @@ def build_config(
                 with open(p, "r") as f:
                     loaded = yaml.safe_load(f) or {}
                 target.update(loaded)
+                loaded_files.append(name)
+        if loaded_files:
+            _notice_config_dir(config_dir, loaded_files)
 
     data_d.update(data_overrides or {})
     aug_d.update(aug_overrides or {})

@@ -54,7 +54,8 @@ def state_from_bytes(template: TrainState, blob: bytes) -> TrainState:
 
 def save_checkpoint(path: str, state: TrainState, host_state: Dict[str, Any]) -> None:
     payload = {"arrays": state_to_bytes(state), "host": host_state}
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"  # pid-unique: concurrent writers on a
+    # shared FS (multi-host) never interleave into one temp file
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)  # atomic vs. preemption mid-write

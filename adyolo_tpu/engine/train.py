@@ -57,6 +57,20 @@ class _PreemptionGuard:
         self.stop = False
         self._orig = {}
 
+    def should_stop(self) -> bool:
+        """Multi-host-safe stop decision: a SIGTERM landing on one host is
+        agreed on by ALL hosts at the same batch boundary (otherwise the
+        survivors deadlock in the next step's collectives)."""
+        stop = self.stop
+        if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(np.asarray(stop))
+            stop = bool(np.asarray(flags).any())
+            if stop:
+                self.stop = True  # every host checkpoints consistently
+        return stop
+
     def __enter__(self):
         def handler(signum, frame):
             print(f"\n[adyolo_tpu] received signal {signum}; will checkpoint "
@@ -76,6 +90,20 @@ class _PreemptionGuard:
         return False
 
 
+def _local_exp_id() -> str:
+    """``local-<timestamp>`` id (reference train.py:108), agreed across
+    processes: every host must open the SAME experiment directory, so
+    process 0's clock wins under multi-host."""
+    ts = datetime.now().strftime("%Y%m%d-%H%M%S")
+    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+        from jax.experimental import multihost_utils
+
+        arr = np.frombuffer(ts.encode("ascii"), dtype=np.uint8)
+        arr = multihost_utils.broadcast_one_to_all(arr)
+        ts = bytes(np.asarray(arr)).decode("ascii")
+    return "local-" + ts
+
+
 def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
                     guard=None):
     """Hot loop (train.py:40-62): place sharded batch -> fused step."""
@@ -88,7 +116,7 @@ def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: boo
         n += 1
         if quick_test and i == 4:
             break
-        if guard is not None and guard.stop:
+        if guard is not None and guard.should_stop():
             break
     return state, key, total / max(n, 1)
 
@@ -106,8 +134,14 @@ def train_model(args: Dict, is_resume: bool = False,
         cfg = load_config(os.path.join(output_pth, "hyp_exp.yaml"))
         assert cfg.args.exp_id == args["resume_pth"]
         # resume the neptune run recorded in the frozen config
-        # (reference train.py:86-91)
-        neptune_logger = make_logger(cfg.args.logger, cfg.args.logging_meta,
+        # (reference train.py:86-91); the credential is never frozen, so
+        # re-read it from the live logging_meta_config.yaml
+        meta = dict(cfg.args.logging_meta or {})
+        if cfg.args.logger and meta.get("neptune_project") \
+                and not meta.get("neptune_api_token"):
+            meta["neptune_api_token"] = get_logging_meta_config(
+                cfg.args.config_dir).get("neptune_api_token")
+        neptune_logger = make_logger(cfg.args.logger, meta,
                                      resume_id=args["resume_pth"])
         key = jax.random.PRNGKey(cfg.args.seed)  # replaced by ckpt restore below
     else:
@@ -118,16 +152,21 @@ def train_model(args: Dict, is_resume: bool = False,
         # experiment identity: explicit --exp_id > neptune sys-id >
         # local-<timestamp> (reference train.py:99-108)
         meta = get_logging_meta_config(cfg.args.config_dir)
+        # freeze the meta for resume, but NEVER the api token: hyp_exp.yaml
+        # and log_params are plaintext artifacts (the reference freezes the
+        # credential verbatim, utility.py:84-90 — deliberate deviation)
+        frozen_meta = {**meta, "neptune_api_token": None}
         cfg = dataclasses.replace(
-            cfg, args=dataclasses.replace(cfg.args, logging_meta=meta))
+            cfg, args=dataclasses.replace(cfg.args, logging_meta=frozen_meta))
         neptune_logger = make_logger(cfg.args.logger, meta)
         exp_id = (args.get("exp_id")
                   or (neptune_logger.sys_id if neptune_logger is not None else None)
-                  or ("local-" + datetime.now().strftime("%Y%m%d-%H%M%S")))
+                  or _local_exp_id())
         cfg = dataclasses.replace(cfg, args=dataclasses.replace(cfg.args, exp_id=exp_id))
         output_pth = os.path.join(results_dir, exp_id)
         os.makedirs(output_pth, exist_ok=True)
-        save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
+        if jax.process_index() == 0:  # canonical artifact, one writer
+            save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
         key = seed_init(cfg.args.seed)
 
     if neptune_logger is not None:
@@ -214,10 +253,21 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
                 test_loader, eval_fwd, criterion, postprocessor, val_scorer,
                 test_scorer, best_log_box, output_pth, logger):
     """Epoch loop body; returns True when preempted.  State/key/best_log
-    travel in single-element lists so the caller sees final values."""
+    travel in single-element lists so the caller sees final values.
+
+    Multi-host: every process runs the loop (the train step's collectives
+    need all of them, and eval scores feed per-host control flow), but
+    canonical artifacts — checkpoints, the frozen config — are written by
+    process 0 only, and per-clip CSV dirs get a ``.r<rank>`` suffix on the
+    other hosts so shared-FS writes never collide."""
     state = state_box[0]
     key = key_box[0]
     best_log = best_log_box[0]
+    rank = jax.process_index()
+
+    def rank_dir(name: str) -> str:
+        return name if rank == 0 else f"{name}.r{rank}"
+
     for epoch in range(start_epoch, last_epoch + 1):
         print(f"\nnow training {epoch:03d}/{last_epoch:03d} epoch...", flush=True)
         t0 = time.time()
@@ -227,14 +277,15 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
         train_time = (time.time() - t0) / 60.0
         if guard.stop:
             # preemption: persist a resumable checkpoint for THIS epoch
-            save_checkpoint(
-                os.path.join(output_pth, "model_ckpt.ckpt"), state,
-                {"start_epoch_nb": epoch,
-                 "confidence_thresh": float(postprocessor.get_conf_thresh()),
-                 "rng_state": get_rng_state(key),
-                 "best_log": best_log,
-                 "train_remaining_file": train_ds.sampler.get_remaining()},
-            )
+            if rank == 0:
+                save_checkpoint(
+                    os.path.join(output_pth, "model_ckpt.ckpt"), state,
+                    {"start_epoch_nb": epoch,
+                     "confidence_thresh": float(postprocessor.get_conf_thresh()),
+                     "rng_state": get_rng_state(key),
+                     "best_log": best_log,
+                     "train_remaining_file": train_ds.sampler.get_remaining()},
+                )
             print(f"[adyolo_tpu] preempted during epoch {epoch}; checkpoint "
                   f"saved — resume with --resume_pth {cfg.args.exp_id}")
             state_box[0] = state
@@ -252,8 +303,8 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
             for tau in np.arange(0.1, 1.0, 0.1):
                 postprocessor.set_conf_thresh(float(tau))
                 decode_cached_to_csv(cached, postprocessor,
-                                     os.path.join(output_pth, "output_val"))
-                scores = val_scorer.get_SELD_Results(os.path.join(output_pth, "output_val"))
+                                     os.path.join(output_pth, rank_dir("output_val")))
+                scores = val_scorer.get_SELD_Results(os.path.join(output_pth, rank_dir("output_val")))
                 print(f"\tconf_thresh {tau:0.1f} - ER {scores[0]:0.4f}, "
                       f"F {scores[1] * 100:0.2f}, LE {scores[2]:0.2f}, "
                       f"LR {scores[3] * 100:0.2f}, SELD {scores[4]:0.4f}")
@@ -262,21 +313,22 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
             print(f"confidence threshold -> {new_thresh}")
             postprocessor.set_conf_thresh(new_thresh)
             cfg = with_conf_thresh(cfg, new_thresh)
-            save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
+            if rank == 0:
+                save_config(cfg, os.path.join(output_pth, "hyp_exp.yaml"))
             logger.log("logs/train/conf_thresh", new_thresh, epoch)
 
         # val / test phase (train.py:209-219)
         t0 = time.time()
         val_loss = test_epoch(valid_loader, state, eval_fwd, criterion, postprocessor,
-                              os.path.join(output_pth, "output_val"))
+                              os.path.join(output_pth, rank_dir("output_val")))
         val_time = (time.time() - t0) / 60.0
         t0 = time.time()
         test_loss = test_epoch(test_loader, state, eval_fwd, criterion, postprocessor,
-                               os.path.join(output_pth, "output_test"))
+                               os.path.join(output_pth, rank_dir("output_test")))
         test_time = (time.time() - t0) / 60.0
 
-        val_s = val_scorer.get_SELD_Results(os.path.join(output_pth, "output_val"))
-        test_s = test_scorer.get_SELD_Results(os.path.join(output_pth, "output_test"))
+        val_s = val_scorer.get_SELD_Results(os.path.join(output_pth, rank_dir("output_val")))
+        test_s = test_scorer.get_SELD_Results(os.path.join(output_pth, rank_dir("output_test")))
 
         # best tracking (train.py:222-238)
         if val_s[4] <= best_log["best_val_SELD"]:
@@ -292,21 +344,23 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
                 "best_test_SELD": test_s[4],
                 "best_conf_thresh": float(postprocessor.get_conf_thresh()),
             }
-            save_checkpoint(
-                os.path.join(output_pth, "model_best.ckpt"), state,
-                {"epoch_nb": epoch,
-                 "confidence_thresh": best_log["best_conf_thresh"]},
-            )
+            if rank == 0:
+                save_checkpoint(
+                    os.path.join(output_pth, "model_best.ckpt"), state,
+                    {"epoch_nb": epoch,
+                     "confidence_thresh": best_log["best_conf_thresh"]},
+                )
 
         # rolling checkpoint (train.py:241-248)
-        save_checkpoint(
-            os.path.join(output_pth, "model_ckpt.ckpt"), state,
-            {"start_epoch_nb": epoch + 1,
-             "confidence_thresh": float(postprocessor.get_conf_thresh()),
-             "rng_state": get_rng_state(key),
-             "best_log": best_log,
-             "train_remaining_file": train_ds.sampler.get_remaining()},
-        )
+        if rank == 0:
+            save_checkpoint(
+                os.path.join(output_pth, "model_ckpt.ckpt"), state,
+                {"start_epoch_nb": epoch + 1,
+                 "confidence_thresh": float(postprocessor.get_conf_thresh()),
+                 "rng_state": get_rng_state(key),
+                 "best_log": best_log,
+                 "train_remaining_file": train_ds.sampler.get_remaining()},
+            )
 
         # console report (train.py:251-261)
         print(f"{epoch:03d} epoch result... (conf_thresh: "

@@ -9,15 +9,11 @@ remains the fallback when no C++ toolchain is available.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "hungarian.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libhungarian.so")
+from ..utils.native import load_or_build
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -28,21 +24,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB)
+    lib = load_or_build("hungarian")
+    if lib is not None:
         lib.lsa.restype = ctypes.c_int
         lib.lsa.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
-        _lib = lib
-    except Exception:
-        _lib = None
+    _lib = lib
     return _lib
 
 

@@ -44,6 +44,10 @@ def _log_clamped(p):
     ``log`` would emit -inf) the clamp value -100 is returned directly, so
     a fully saturated sigmoid (p == 0) yields per-element loss 100 exactly
     like torch, not the ~87.5 a 1e-38 probability clip would cap it at.
+    Known deviation: in the subnormal band p ∈ (1.4e-45, 1.18e-38) — only
+    reachable on CPUs, which keep subnormals — torch returns log(p) ∈
+    (-103, -87.3) where this clamps to -100 early; on TPU both flush to
+    the p == 0 case and agree.
     """
     raw = jnp.log(jnp.maximum(p, _F32_TINY))
     return jnp.where(p < _F32_TINY, jnp.asarray(-_BCE_CLAMP, p.dtype), raw)

@@ -349,52 +349,81 @@ class PostProcessor:
         res: Dict[int, List] = {}
         for t in active:
             sel = sel_all[t]  # (n_cand,)
-            cand_cls = cls_conf[t][sel]  # (n, K)
-            cand_uv = uv[t][sel]  # (n, 2)
-            i, j = np.nonzero(cand_cls > self.clss_thresh)
-            if len(i) == 0:
-                continue
-            rows = np.stack(
-                [j.astype(np.float64), cand_cls[i, j],
-                 cand_uv[i, 0], cand_uv[i, 1]], axis=1
-            )  # (n_det, [class, class_conf, U, V])
-            rows = rows[np.argsort(-rows[:, 1], kind="stable")]
-
-            if self._use_native:
-                native = nms_native.nms_frame(rows, self.nms, self.unify_thresh,
-                                              self.clss_thresh)
-                if native is not None:
-                    if len(native):
-                        res[int(t)] = native.tolist()
-                    continue
-
-            dets: List[np.ndarray] = []
-            for cls_idx in np.unique(rows[:, 0]):
-                co = rows[rows[:, 0] == cls_idx]
-                if self.nms == "conn-merge":
-                    dets.extend(_nms_conn_merge(co, self.unify_thresh, self.clss_thresh))
-                elif self.nms == "soft-merge":
-                    dets.extend(_nms_soft_merge(co, self.unify_thresh, self.clss_thresh))
-                else:
-                    dets.extend(_nms_default(co, self.unify_thresh))
+            dets = self._frame_dets(cls_conf[t][sel], uv[t][sel])
             if dets:
-                res[int(t)] = np.concatenate(dets, axis=0).tolist()
+                res[int(t)] = dets
         return res
+
+    def _frame_dets(self, cand_cls, cand_uv) -> Optional[List]:
+        """Class-threshold filter + per-class NMS for one frame's surviving
+        candidates (datasets.py:771-855); native kernel when available."""
+        i, j = np.nonzero(cand_cls > self.clss_thresh)
+        if len(i) == 0:
+            return None
+        rows = np.stack(
+            [j.astype(np.float64), cand_cls[i, j],
+             cand_uv[i, 0], cand_uv[i, 1]], axis=1
+        )  # (n_det, [class, class_conf, U, V])
+        rows = rows[np.argsort(-rows[:, 1], kind="stable")]
+
+        if self._use_native:
+            native = nms_native.nms_frame(rows, self.nms, self.unify_thresh,
+                                          self.clss_thresh)
+            if native is not None:
+                return native.tolist() if len(native) else None
+
+        dets: List[np.ndarray] = []
+        for cls_idx in np.unique(rows[:, 0]):
+            co = rows[rows[:, 0] == cls_idx]
+            if self.nms == "conn-merge":
+                dets.extend(_nms_conn_merge(co, self.unify_thresh, self.clss_thresh))
+            elif self.nms == "soft-merge":
+                dets.extend(_nms_soft_merge(co, self.unify_thresh, self.clss_thresh))
+            else:
+                dets.extend(_nms_default(co, self.unify_thresh))
+        return np.concatenate(dets, axis=0).tolist() if dets else None
 
     def _adyolo(self, output, valid):
         return self._adyolo_from_candidates(self.adyolo_candidates(output), valid)
 
     # -- cached decode (τ-arbitration: forward once, re-decode per τ) -------
 
+    ARBITRATION_MIN_CONF = 0.1  # smallest τ of the train.py:178-206 scan
+
     def candidates(self, output):
-        """Decode-ready cache of one clip's output: for adyolo the compact
-        device-decoded candidate set (guarded for the full τ∈[0.1,0.9]
-        scan); for dense formats the raw output array (small)."""
+        """Decode-ready cache of one clip's output.
+
+        For adyolo: a SPARSE candidate set — only rows whose objectness
+        clears the smallest τ of the arbitration scan are kept, so caching
+        a whole val split holds O(active detections), not O(T x grid),
+        even when the top-k exactness guard forces a full-grid decode.
+        For dense formats the raw output array (small)."""
         if self.loss == "adyolo":
-            return self.adyolo_candidates(output, min_conf=0.1)
+            mc = self.ARBITRATION_MIN_CONF
+            cls_conf, obj_conf, uv = self.adyolo_candidates(output, min_conf=mc)
+            tt, nn = np.nonzero(obj_conf > mc)
+            return ("sparse", obj_conf.shape[0], tt.astype(np.int32),
+                    obj_conf[tt, nn], cls_conf[tt, nn], uv[tt, nn])
         return np.asarray(output)
+
+    def _adyolo_from_sparse(self, sp, valid):
+        _, T_full, tt, obj, cls, uv = sp
+        T = T_full if valid is None else min(T_full, int(valid))
+        keep = (obj > self.conf_thresh) & (tt < T)
+        tt, cls, uv = tt[keep], cls[keep], uv[keep]
+        res: Dict[int, List] = {}
+        if len(tt) == 0:
+            return res
+        # rows are frame-major (np.nonzero order): group by frame
+        uniq, starts = np.unique(tt, return_index=True)
+        ends = np.append(starts[1:], len(tt))
+        for t, s, e in zip(uniq, starts, ends):
+            dets = self._frame_dets(cls[s:e], uv[s:e])
+            if dets:
+                res[int(t)] = dets
+        return res
 
     def postprocess_cached(self, cached, valid_label_frames: Optional[int] = None) -> Dict:
         if self.loss == "adyolo":
-            return self._adyolo_from_candidates(cached, valid_label_frames)
+            return self._adyolo_from_sparse(cached, valid_label_frames)
         return self.postprocess(cached, valid_label_frames)

@@ -93,15 +93,6 @@ class Scaler:
         self.aux_mean = prep(aux_mean)
         self.aux_std = prep(aux_std)
 
-    # legacy aliases (FOA: the aux block IS the intensity vector)
-    @property
-    def iv_mean(self):
-        return self.aux_mean
-
-    @property
-    def iv_std(self):
-        return self.aux_std
-
     @classmethod
     def from_dict(cls, d: Dict) -> "Scaler":
         aux = d["IV"] if "IV" in d else d["GCC"]
@@ -229,15 +220,6 @@ class FeatureFrontend:
         self._aux_mean = jnp.asarray(scaler.aux_mean)  # (mel, 3|6)
         self._aux_std = jnp.asarray(scaler.aux_std)
 
-    # legacy attribute names (FOA: aux == intensity vector)
-    @property
-    def _iv_mean(self):
-        return self._aux_mean
-
-    @property
-    def _iv_std(self):
-        return self._aux_std
-
     # -- unnormalized parts (used by the scaler-stats pipeline) -------------
 
     def stft(self, audio):
@@ -282,6 +264,3 @@ class FeatureFrontend:
         else:
             aux = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
         return mel_db, aux
-
-    # legacy name (FOA only)
-    raw_mel_iv = raw_mel_aux

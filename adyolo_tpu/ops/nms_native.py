@@ -9,15 +9,11 @@ Hungarian solver (``adyolo_tpu.metrics.hungarian``).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "nms.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libnms.so")
+from ..utils.native import load_or_build
 
 _MODES = {"conn-merge": 0, "soft-merge": 1, "default": 2}
 
@@ -30,21 +26,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB)
+    lib = load_or_build("nms")
+    if lib is not None:
         lib.nms_frame.restype = ctypes.c_int
         lib.nms_frame.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
         ]
-        _lib = lib
-    except Exception:
-        _lib = None
+    _lib = lib
     return _lib
 
 

@@ -111,7 +111,7 @@ def main() -> None:
     # ---- config 2: preprocessing feature kernels --------------------------
     raw = jax.device_put(
         (rng.standard_normal((8, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
-    raw_fn = jax.jit(frontend.raw_mel_iv)
+    raw_fn = jax.jit(frontend.raw_mel_aux)
     dt = _bench(raw_fn, raw)
     _emit("scaler-pass feature kernel throughput", 8 * secs / dt, "audio_s/s")
 

@@ -146,3 +146,17 @@ def test_train_model_uses_neptune_exp_id(fake_neptune, tmp_path, monkeypatch):
     assert exp_dir.is_dir()  # exp id == fake neptune sys-id
     frozen = (exp_dir / "hyp_exp.yaml").read_text()
     assert "AD-42" in frozen and "ws/proj" in frozen  # meta frozen for resume
+    import yaml as _yaml
+
+    frozen_meta = _yaml.safe_load(frozen)["args"]["logging_meta"]
+    assert frozen_meta["neptune_api_token"] is None  # credential never frozen
+
+    # resume re-reads the credential from the live meta config and
+    # reattaches the run with with_id
+    (tmp_path / "results" / "AD-42" / "model_ckpt.ckpt").touch()
+    args2 = dict(args, resume_pth="AD-42", exp_id=None)
+    with pytest.raises(_Abort):
+        train_mod.train_model(args2, is_resume=True)
+    resumed = fake_neptune.runs[-1]
+    assert resumed.init_kwargs.get("with_id") == "AD-42"
+    assert resumed.init_kwargs.get("api_token") == "tok"
