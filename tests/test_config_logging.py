@@ -160,3 +160,23 @@ def test_train_model_uses_neptune_exp_id(fake_neptune, tmp_path, monkeypatch):
     resumed = fake_neptune.runs[-1]
     assert resumed.init_kwargs.get("with_id") == "AD-42"
     assert resumed.init_kwargs.get("api_token") == "tok"
+
+
+def test_preprocess_cli_uses_config_dir(tmp_path, monkeypatch):
+    """preprocess must resolve its DataConfig through the same three-tier
+    merge as training, so an edited hyp_data_*.yaml feeds identical
+    geometry into both (code-review finding)."""
+    cd = tmp_path / "configs"
+    cd.mkdir()
+    (cd / "hyp_data_DCASE2022.yaml").write_text("mel_bins: 32\n")
+
+    from adyolo_tpu import cli
+
+    seen = {}
+    monkeypatch.setattr("adyolo_tpu.data.chunking.preprocess_chunking",
+                        lambda dcfg: seen.setdefault("cfg", dcfg) and 0 or 0)
+    rc = cli.main(["preprocess", "chunking", "--dataset", "DCASE2022",
+                   "--config_dir", str(cd)])
+    assert rc == 0
+    assert seen["cfg"].mel_bins == 32
+    assert seen["cfg"].dataset == "DCASE2022"
