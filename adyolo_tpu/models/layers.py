@@ -189,7 +189,9 @@ class _GRUDirection(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((B, H), x.dtype)
-        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xi, 0, 1))
+        # unroll: amortize per-iteration while-loop overhead on TPU (the
+        # recurrent matmul is tiny, so loop latency dominates the scan)
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xi, 0, 1), unroll=8)
         return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 

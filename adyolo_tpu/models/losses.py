@@ -26,6 +26,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import LossGains
 from ..ops.angular import gc_distance_deg
@@ -127,8 +128,9 @@ def adpit_loss(output, target, nb_classes: int):
 
 def adyolo_decode_grid(logits, geom: GridGeometry, nb_classes: int,
                        clamp_ele: Tuple[float, float] = (-90.0, 90.0)):
-    """Shared grid decode for loss and inference (loss.py:195-213 /
-    datasets.py:752-768): reshape to the (…, G0, G1, A, K+3) grid, split
+    """Grid decode for the inference path (datasets.py:752-768; the loss
+    inlines the same math in a flat lane-friendly orientation — see
+    :func:`adyolo_loss`): reshape to the (…, G0, G1, A, K+3) grid, split
     into [obj, class..] logits and tanh (u, v), un-normalize (u, v) to
     degrees (cell offset + overlap-scaled span), clamp elevation, wrap
     azimuth into [-180, 180).
@@ -180,10 +182,26 @@ def adyolo_loss(
     K = nb_classes
     NP = B * T * g0 * g1 * A
 
-    conf_logits, uv = adyolo_decode_grid(logits, geom, K)
-    # flatten grid for scatter/gather
-    conf_flat = conf_logits.reshape(NP, K + 1)
-    uv_cells = uv.reshape(B * T * g0 * g1, A, 2)
+    # Lane-friendly orientation: ONE physical transpose of the head output
+    # to (K+3, NP) so every elementwise/reduce op below runs over the long
+    # NP axis in the 128-lane minor dimension.  (Keeping the natural
+    # (..., K+3) orientation costs ~10 ms/step at B=32 on v5e: XLA has to
+    # re-tile minor-dim-14 tensors with physical copies, at ~11% lane
+    # utilization — measured via jax.profiler, see PLAN.md.)
+    xT = logits.reshape(NP, K + 3).T  # (K+3, NP)
+    z_obj = xT[0]
+    z_cls = xT[1 : K + 1]  # (K, NP)
+
+    # (u, v) tanh -> degrees, per flat (cell, anchor) index; the cell-center
+    # offset pattern repeats every g0*g1*A entries (loss.py:204-213)
+    scale = geom.uv_to_degrees_scale()  # numpy (2,)
+    off_u = jnp.asarray(np.repeat(geom.offset[..., 0].reshape(-1), A))
+    off_v = jnp.asarray(np.repeat(geom.offset[..., 1].reshape(-1), A))
+    u = jnp.tanh(xT[K + 1]) * float(scale[0]) + jnp.tile(off_u, B * T)
+    v = jnp.tanh(xT[K + 2]) * float(scale[1]) + jnp.tile(off_v, B * T)
+    v = jnp.clip(v, -90.0, 90.0)
+    u = jnp.where(u >= 180.0, u - 360.0, u)
+    u = jnp.where(u < -180.0, u + 360.0, u)
 
     valid = target_mask
     bi = targets[:, 0].astype(jnp.int32)
@@ -195,14 +213,12 @@ def adyolo_loss(
     cell = jnp.where(valid, cell, 0)
     ci = jnp.where(valid, ci, 0)
 
-    pred_uv = uv_cells[cell]  # (M, A, 2)
+    anchor_flat = cell[:, None] * A + jnp.arange(A)[None, :]  # (M, A)
+    pred_uv = jnp.stack([u[anchor_flat], v[anchor_flat]], axis=-1)  # (M, A, 2)
     D = gc_distance_deg(pred_uv, targets[:, None, 5:7], clip_eps=1e-7)  # (M, A)
 
-    anchor_flat = cell[:, None] * A + jnp.arange(A)[None, :]  # (M, A)
     amin_onehot = jax.nn.one_hot(jnp.argmin(D, axis=1), A, dtype=bool)
 
-    z_obj = conf_flat[:, 0]
-    z_cls = conf_flat[:, 1:]
     pos_all = _bce_logits_pos(z_obj)
     neg_all = _bce_logits_neg(z_obj)
 
@@ -213,10 +229,9 @@ def adyolo_loss(
         resp = resp & valid[:, None]
 
         obj = jnp.zeros((NP,), bool).at[anchor_flat.reshape(-1)].max(resp.reshape(-1))
+        cls_idx = (ci[:, None] * NP + anchor_flat).reshape(-1)  # into (K, NP) flat
         cls_lab = (
-            jnp.zeros((NP, K), bool)
-            .at[anchor_flat.reshape(-1), jnp.broadcast_to(ci[:, None], resp.shape).reshape(-1)]
-            .max(resp.reshape(-1))
+            jnp.zeros((K * NP,), bool).at[cls_idx].max(resp.reshape(-1)).reshape(K, NP)
         )
 
         n_pos = obj.sum()
@@ -229,7 +244,7 @@ def adyolo_loss(
 
         y = cls_lab.astype(jnp.float32)
         cls_elem = _bce_logits_pos(z_cls) * y + _bce_logits_neg(z_cls) * (1.0 - y)
-        class_loss = jnp.sum(cls_elem * objf[:, None]) / (n_pos_f * K)
+        class_loss = jnp.sum(cls_elem * objf[None, :]) / (n_pos_f * K)
 
         if i == 0:
             respf = resp.astype(jnp.float32)

@@ -121,7 +121,7 @@ def identity_scaler(mel_bins: int, n_mel_ch: int = 4, n_aux_ch: int = 3) -> Scal
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _stft_re_im(x, n_fft, hop, w_re, w_im):
-    from .stft import frame_signal
+    from .stft import framed_dft
 
     B, N, C = x.shape
     n_frames = N // hop
@@ -130,12 +130,7 @@ def _stft_re_im(x, n_fft, hop, w_re, w_im):
     rpad = (n_frames - 1) * hop + n_fft - (N + lpad)
     if rpad > 0:
         x = jnp.pad(x, ((0, 0), (0, rpad), (0, 0)))
-    frames = frame_signal(x, n_fft, hop, n_frames)
-    re = jnp.einsum("btnc,nk->btkc", frames, w_re, preferred_element_type=jnp.float32,
-                    precision=_STFT_PRECISION)
-    im = jnp.einsum("btnc,nk->btkc", frames, w_im, preferred_element_type=jnp.float32,
-                    precision=_STFT_PRECISION)
-    return re, im
+    return framed_dft(x, n_fft, hop, n_frames, w_re, w_im)
 
 
 def _logmel(re, im, mel_t, frame_mask):
