@@ -149,22 +149,17 @@ def reverse_sequence(x: jax.Array, lengths: Optional[jax.Array]) -> jax.Array:
 
 
 class _GRUDirection(nn.Module):
-    """Single-direction GRU with torch nn.GRU gate conventions:
+    """Parameters of one GRU direction, torch ``nn.GRU`` layout:
+    ``w_ih (D, 3H)``, ``w_hh (H, 3H)``, ``b_ih/b_hh (3H,)`` with gate order
+    [r ‖ z ‖ n].  Calling returns the params; the recurrence itself runs in
+    :func:`_bidi_gru_scan`, which fuses both directions of a layer into ONE
+    ``lax.scan`` (half the sequential loop iterations per layer)."""
 
-    r = σ(W_ir x + b_ir + W_hr h + b_hr)
-    z = σ(W_iz x + b_iz + W_hz h + b_hz)
-    n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))
-    h' = (1 - z) ⊙ n + z ⊙ h
-
-    Implemented as one input projection matmul over the whole sequence
-    (batched MXU work) + a lax.scan over time for the recurrent part.
-    """
-
+    in_dim: int
     hidden: int
 
     @nn.compact
-    def __call__(self, x):
-        B, T, D = x.shape
+    def __call__(self):
         H = self.hidden
         k = 1.0 / jnp.sqrt(H)
         u = nn.initializers.uniform(scale=2 * k)  # ~U(0, 2k); shift to (-k, k)
@@ -172,27 +167,50 @@ class _GRUDirection(nn.Module):
         def uinit(key, shape, dtype=jnp.float32):
             return u(key, shape, dtype) - k
 
-        w_ih = self.param("w_ih", uinit, (D, 3 * H))
-        w_hh = self.param("w_hh", uinit, (H, 3 * H))
-        b_ih = self.param("b_ih", uinit, (3 * H,))
-        b_hh = self.param("b_hh", uinit, (3 * H,))
+        return (self.param("w_ih", uinit, (self.in_dim, 3 * H)),
+                self.param("w_hh", uinit, (H, 3 * H)),
+                self.param("b_ih", uinit, (3 * H,)),
+                self.param("b_hh", uinit, (3 * H,)))
 
-        # hoist the input projection out of the scan: (B,T,D)@(D,3H)
-        xi = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih
 
-        def step(h, xi_t):
-            hh = h @ w_hh + b_hh
-            r = jax.nn.sigmoid(xi_t[..., :H] + hh[..., :H])
-            z = jax.nn.sigmoid(xi_t[..., H : 2 * H] + hh[..., H : 2 * H])
-            n = jnp.tanh(xi_t[..., 2 * H :] + r * hh[..., 2 * H :])
-            h_new = (1.0 - z) * n + z * h
-            return h_new, h_new
+def _bidi_gru_scan(x, x_rev, pf, pb, hidden: int):
+    """Both directions of one BiGRU layer in a single ``lax.scan``.
 
-        h0 = jnp.zeros((B, H), x.dtype)
-        # unroll: amortize per-iteration while-loop overhead on TPU (the
-        # recurrent matmul is tiny, so loop latency dominates the scan)
-        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xi, 0, 1), unroll=8)
-        return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    torch nn.GRU gate conventions per direction:
+
+    r = σ(W_ir x + b_ir + W_hr h + b_hr)
+    z = σ(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))
+    h' = (1 - z) ⊙ n + z ⊙ h
+
+    The input projections are hoisted out of the scan as full-sequence
+    MXU matmuls; the recurrent matmuls of the two directions run as one
+    batched einsum per step — the forward direction consumes ``x`` and the
+    backward direction consumes the (length-aware) reversed ``x_rev``, so
+    both scan left-to-right over their own operand.
+    Returns (fwd, bwd_rev): (B, T, H) each; ``bwd_rev`` is in reversed time
+    order and must be reversed back by the caller.
+    """
+    B, T, D = x.shape
+    H = hidden
+    xi = jnp.stack([jnp.einsum("btd,dh->bth", x, pf[0]) + pf[2],
+                    jnp.einsum("btd,dh->bth", x_rev, pb[0]) + pb[2]])  # (2,B,T,3H)
+    w_hh = jnp.stack([pf[1], pb[1]])  # (2, H, 3H)
+    b_hh = jnp.stack([pf[3], pb[3]])[:, None]  # (2, 1, 3H)
+
+    def step(h, xi_t):  # h (2,B,H), xi_t (2,B,3H)
+        hh = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh
+        r = jax.nn.sigmoid(xi_t[..., :H] + hh[..., :H])
+        z = jax.nn.sigmoid(xi_t[..., H : 2 * H] + hh[..., H : 2 * H])
+        n = jnp.tanh(xi_t[..., 2 * H :] + r * hh[..., 2 * H :])
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((2, B, H), x.dtype)
+    # unroll: amortize per-iteration while-loop overhead on TPU (the
+    # recurrent matmul is tiny, so loop latency dominates the scan)
+    _, ys = jax.lax.scan(step, h0, jnp.moveaxis(xi, 2, 0), unroll=8)  # (T,2,B,H)
+    return jnp.moveaxis(ys[:, 0], 0, 1), jnp.moveaxis(ys[:, 1], 0, 1)
 
 
 class BiGRU(nn.Module):
@@ -209,9 +227,11 @@ class BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, lengths=None):
         for layer in range(self.num_layers):
-            fwd = _GRUDirection(self.hidden, name=f"l{layer}_fwd")(x)
+            D = x.shape[-1]
+            pf = _GRUDirection(D, self.hidden, name=f"l{layer}_fwd")()
+            pb = _GRUDirection(D, self.hidden, name=f"l{layer}_bwd")()
             x_rev = reverse_sequence(x, lengths)
-            bwd = _GRUDirection(self.hidden, name=f"l{layer}_bwd")(x_rev)
+            fwd, bwd = _bidi_gru_scan(x, x_rev, pf, pb, self.hidden)
             bwd = reverse_sequence(bwd, lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if layer < self.num_layers - 1 and self.dropout > 0:

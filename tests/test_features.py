@@ -128,3 +128,31 @@ def test_gcc_phat_mic_path():
     spec = oracle.oracle_multich_stft(audio.astype(np.float64), NFFT, HOP, win)
     want = oracle.oracle_gcc_phat(spec, NFFT, MEL)
     np.testing.assert_allclose(feat[..., 4:], want, atol=2e-3)
+
+
+def test_framed_dft_split_slab_matches_gather_fallback():
+    """The hop | n_fft split-slab matmul (no frame materialization) must
+    equal the general framed-gather path bit-for-bit up to f32 accumulation
+    order; exercised both ways by choosing hops that do / don't divide
+    n_fft."""
+    import jax.numpy as jnp
+
+    from adyolo_tpu.ops.stft import frame_signal, framed_dft
+
+    n_fft, C = 256, 2
+    w = dsp.hann_window(n_fft)
+    w_re, w_im = dsp.dft_matrices(n_fft, w)
+    w_re, w_im = jnp.asarray(w_re), jnp.asarray(w_im)
+    x = jnp.asarray(rand_audio(4096, C=C, seed=3))[None]
+
+    for hop in (128, 96):  # 128 | 256 -> split-slab; 96 does not -> gather
+        n_frames = (4096 - n_fft) // hop
+        re, im = framed_dft(x, n_fft, hop, n_frames, w_re, w_im)
+        frames = frame_signal(x, n_fft, hop, n_frames)
+        want_re = jnp.einsum("btnc,nk->btkc", frames, w_re)
+        want_im = jnp.einsum("btnc,nk->btkc", frames, w_im)
+        scale = float(jnp.abs(want_re).max())
+        np.testing.assert_allclose(np.asarray(re), np.asarray(want_re),
+                                   atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(im), np.asarray(want_im),
+                                   atol=2e-4 * scale)
