@@ -93,19 +93,74 @@ class PhaseTimer:
         return ", ".join(f"{k}: {v:0.2f}s" for k, v in self.totals.items())
 
 
+def _trace_device_seconds(logdir: str) -> Optional[float]:
+    """Total device-side execution seconds of top-level XLA programs in a
+    jax.profiler trace directory (sums ``jit_*`` / entry-computation events
+    on device lanes).  Returns None when the trace has no device events
+    (e.g. CPU backend)."""
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pid_names.get(e.get("pid"), ""):
+            continue
+        name = e.get("name", "")
+        # top-level executable events carry the jit program name
+        if name.startswith("jit_") or name.startswith("jit(") :
+            total += e.get("dur", 0.0)
+    return total * 1e-6 if total > 0 else None
+
+
 def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
-    """Median-free simple steady-state seconds/call with block_until_ready."""
+    """Steady-state seconds/call, measured honestly.
+
+    On this TPU stack ``block_until_ready`` can return before device
+    execution finishes (remote-tunneled PJRT), so wall-clock around a call
+    loop under-reports arbitrarily.  The ground truth is the device
+    timeline: run the loop under a ``jax.profiler`` trace and sum the
+    top-level program durations.  Falls back to wall-clock when the trace
+    has no device events (CPU backend) — where blocking semantics hold.
+    """
+    import tempfile
+
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def sync(x):
+        # a host fetch is the only operation guaranteed to drain the device
+        # queue on this stack; fetch one tiny reduced scalar
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(jnp.sum(leaf))
 
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    sync(out)
+    with tempfile.TemporaryDirectory() as logdir:
+        jax.profiler.start_trace(logdir)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        wall = (time.perf_counter() - t0) / iters
+        jax.profiler.stop_trace()
+        dev = _trace_device_seconds(logdir)
+    if dev is not None:
+        return dev / iters
+    return wall
 
 
 def throughput_audio_s(batch: int, clip_seconds: float, step_seconds: float) -> float:
