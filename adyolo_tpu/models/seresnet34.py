@@ -23,6 +23,7 @@ import flax.linen as nn
 
 from .layers import (
     BiGRU,
+    Conv3x3,
     SEBasicBlock,
     SelfAttentionPooling,
     apply_frame_mask,
@@ -51,8 +52,8 @@ class SEResNet34(nn.Module):
             x = apply_frame_mask(x, frame_mask)
 
         x = x.astype(self.dtype)
-        x = nn.Conv(_FILTERS[0], (3, 3), padding=1, use_bias=True,
-                    dtype=self.dtype, name="conv1")(x)
+        x = Conv3x3(_FILTERS[0], use_bias=True, dtype=self.dtype,
+                    name="conv1")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)

@@ -1,0 +1,80 @@
+"""Frequency-packed 3x3 conv: small-channel convs at large-channel speed.
+
+XLA:TPU runs 3x3 stride-1 convs superbly at >= 128 channels (70-86% MFU on
+v5e, profiler-verified) but collapses to ~4% MFU at 32 channels — the MXU
+output lanes sit idle and the narrow channel dim forces padded layouts.
+The SE-ResNet34 encoder's stage 1 (reference ``src/models/backbones/
+resnet.py:146``) is exactly that shape, and dominates the conv budget.
+
+The fix needs no custom kernel: fold ``pack`` adjacent frequency columns
+into the channel dimension and run an *exactly equivalent* conv with
+``pack*Cin -> pack*Cout`` channels:
+
+    x4[b, t, g, p*Cin + c]            = x[b, t, g*pack + p, c]   (a reshape)
+    w3[du, dg, pi*Cin + c, po*Cout + k] = w[du, dv, c, k]
+        where dv = (dg - 1)*pack + pi - po + 1, kept iff 0 <= dv <= 2
+    y[b, t, g*pack + po, k]           = conv(x4, w3)[b, t, g, po*Cout + k]
+
+Every original tap appears exactly once and all other w3 entries are zero,
+so the packed conv computes the same sums plus exact ``+0.0`` terms —
+numerically identical up to XLA's usual conv summation order.  FLOPs
+inflate by ``pack``x, but the MXU utilization gain is larger: measured on
+v5e (B=32, bf16), stage 1 drops 3.72 -> 1.22 ms (3.0x) with pack=4 and
+stage 2 0.79 -> 0.58 ms with pack=2.  Being pure XLA, the trick
+differentiates (dgrad is itself a packed conv; dw flows through the w3
+scatter) and composes with any precision context.
+
+A Pallas implicit-GEMM conv was built and benchmarked first (git history:
+``ops/pallas_conv.py``); it only tied XLA on stage 1 (patch-assembly
+sublane shuffles dominated) and lost at >= 64 channels, so this XLA
+formulation is the shipped one.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["best_pack", "pack_weights", "conv3x3_packed"]
+
+
+def best_pack(cout: int, f_dim: int) -> int:
+    """Packing factor: fill the 128 MXU lanes (pack*Cout ~ 128) while
+    dividing the frequency dim; 1 means plain conv is already efficient."""
+    for pack in (4, 2):
+        if cout * pack <= 128 and f_dim % pack == 0:
+            return pack
+    return 1
+
+
+def pack_weights(w: jax.Array, pack: int) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (3, 3, pack*Cin, pack*Cout) block-sparse
+    channel-packed weights (zeros off the valid taps)."""
+    cin, cout = w.shape[2], w.shape[3]
+    w3 = jnp.zeros((3, 3, pack * cin, pack * cout), w.dtype)
+    for dg in range(3):
+        for pi in range(pack):
+            for po in range(pack):
+                dv = (dg - 1) * pack + pi - po + 1
+                if 0 <= dv <= 2:
+                    w3 = w3.at[:, dg, pi * cin : (pi + 1) * cin,
+                               po * cout : (po + 1) * cout].set(w[:, dv])
+    return w3
+
+
+def conv3x3_packed(x: jax.Array, w: jax.Array, pack: int) -> jax.Array:
+    """SAME 3x3 stride-1 NHWC conv via frequency-channel packing.
+
+    x: (B, T, F, Cin) with F % pack == 0; w: (3, 3, Cin, Cout).
+    pack == 1 falls through to the plain conv.
+    """
+    if pack == 1:
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    B, T, F, C = x.shape
+    K = w.shape[3]
+    x4 = x.reshape(B, T, F // pack, pack * C)
+    y4 = jax.lax.conv_general_dilated(
+        x4, pack_weights(w, pack), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y4.reshape(B, T, F, K)
