@@ -126,6 +126,19 @@ def adpit_loss(output, target, nb_classes: int):
 # ---------------------------------------------------------------------------
 
 
+def _uv_unnormalize(u, v, scale, off_u, off_v,
+                    clamp_ele: Tuple[float, float] = (-90.0, 90.0)):
+    """tanh (u, v) -> degrees: overlap-scaled span + cell-center offset,
+    elevation clamp, azimuth wrap into [-180, 180) (loss.py:204-213 /
+    datasets.py:760-768).  Shared by the inference grid decode and the
+    loss's flat decode so the two cannot drift."""
+    u = u * scale[0] + off_u
+    v = jnp.clip(v * scale[1] + off_v, clamp_ele[0], clamp_ele[1])
+    u = jnp.where(u >= 180.0, u - 360.0, u)
+    u = jnp.where(u < -180.0, u + 360.0, u)
+    return u, v
+
+
 def adyolo_decode_grid(logits, geom: GridGeometry, nb_classes: int,
                        clamp_ele: Tuple[float, float] = (-90.0, 90.0)):
     """Grid decode for the inference path (datasets.py:752-768; the loss
@@ -142,15 +155,13 @@ def adyolo_decode_grid(logits, geom: GridGeometry, nb_classes: int,
     lead = logits.shape[:-1]
     x = logits.reshape(*lead, g0, g1, A, nb_classes + 3)
     conf_logits = x[..., : nb_classes + 1]
-    uv = jnp.tanh(x[..., nb_classes + 1 :])
-    scale = jnp.asarray(geom.uv_to_degrees_scale())  # (2,)
-    offset = jnp.asarray(geom.offset)  # (g0, g1, 2)
-    bshape = (1,) * len(lead) + (g0, g1, 1, 2)
-    uv = uv * scale + offset.reshape(bshape)
-    u = uv[..., 0]
-    v = jnp.clip(uv[..., 1], clamp_ele[0], clamp_ele[1])
-    u = jnp.where(u >= 180.0, u - 360.0, u)
-    u = jnp.where(u < -180.0, u + 360.0, u)
+    scale = geom.uv_to_degrees_scale()  # numpy (2,)
+    bshape = (1,) * len(lead) + (g0, g1, 1)
+    off = jnp.asarray(geom.offset)  # (g0, g1, 2)
+    u, v = _uv_unnormalize(
+        jnp.tanh(x[..., nb_classes + 1]), jnp.tanh(x[..., nb_classes + 2]),
+        scale, off[..., 0].reshape(bshape), off[..., 1].reshape(bshape),
+        clamp_ele)
     return conf_logits, jnp.stack([u, v], axis=-1)
 
 
@@ -197,11 +208,8 @@ def adyolo_loss(
     scale = geom.uv_to_degrees_scale()  # numpy (2,)
     off_u = jnp.asarray(np.repeat(geom.offset[..., 0].reshape(-1), A))
     off_v = jnp.asarray(np.repeat(geom.offset[..., 1].reshape(-1), A))
-    u = jnp.tanh(xT[K + 1]) * float(scale[0]) + jnp.tile(off_u, B * T)
-    v = jnp.tanh(xT[K + 2]) * float(scale[1]) + jnp.tile(off_v, B * T)
-    v = jnp.clip(v, -90.0, 90.0)
-    u = jnp.where(u >= 180.0, u - 360.0, u)
-    u = jnp.where(u < -180.0, u + 360.0, u)
+    u, v = _uv_unnormalize(jnp.tanh(xT[K + 1]), jnp.tanh(xT[K + 2]), scale,
+                           jnp.tile(off_u, B * T), jnp.tile(off_v, B * T))
 
     valid = target_mask
     bi = targets[:, 0].astype(jnp.int32)

@@ -151,15 +151,25 @@ def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
     sync(out)
     with tempfile.TemporaryDirectory() as logdir:
         jax.profiler.start_trace(logdir)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        sync(out)
-        wall = (time.perf_counter() - t0) / iters
-        jax.profiler.stop_trace()
+        try:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            sync(out)
+            wall = (time.perf_counter() - t0) / iters
+        finally:
+            jax.profiler.stop_trace()
         dev = _trace_device_seconds(logdir)
     if dev is not None:
         return dev / iters
+    if jax.default_backend() != "cpu":
+        # On a device backend an empty trace means the event-name matching
+        # broke (profiler format drift) — falling back to wall-clock would
+        # silently publish numbers this stack under-reports by orders of
+        # magnitude, so fail loudly instead.
+        raise RuntimeError(
+            "benchmark(): no device program events matched in the profiler "
+            "trace on a non-CPU backend; refusing to report wall-clock")
     return wall
 
 
