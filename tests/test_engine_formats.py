@@ -90,3 +90,31 @@ def test_quick_train_other_datasets(tmp_path, dataset, nb_classes):
     exp = os.path.join(results, f"exp-{dataset}")
     assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
     assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dataset,k", [("DCASE2020", 14), ("DCASE2021", 12)])
+def test_quick_train_other_dataset_presets(tmp_path, dataset, k):
+    """Engine smoke through the DCASE2020/2021 presets: different class
+    counts size the AD-YOLO grid head (8*4*5*(K+3)) and the label
+    encoders; the full train+eval protocol must run unchanged."""
+    root = make_synth_dataset(str(tmp_path / "data"), nb_classes=k,
+                              n_train=4, n_val=1, n_test=1,
+                              chunk_window_s=4, eval_secs=6)
+    results = str(tmp_path / "results")
+    args = {
+        "action": "train", "dataset": dataset, "encoder": "se-resnet34",
+        "loss": "adyolo", "seed": 100, "augment": False, "fix_thresh": True,
+        "logger": False, "quick_test": True, "eval_pth": None,
+        "resume_pth": None, "infer_pth": None, "results_dir": results,
+        "batch_size": 2, "nb_iters": 1, "exp_id": f"exp-{dataset}",
+        "nb_epochs": 1,
+    }
+    train_model(args, cfg_overrides={
+        "data": {"data_pth": root,
+                 "name_pth": os.path.join(root, "classes.txt"),
+                 "chunk_window_s": 4},
+    })
+    exp = os.path.join(results, f"exp-{dataset}")
+    assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
+    assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
