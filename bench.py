@@ -176,6 +176,10 @@ def main() -> None:
         cfg32.train, compute_dtype="bfloat16"))
     bench_train_step(cfg32bf,
                      "train-step throughput (fwd+bwd+adam, B=32, bf16 compute)")
+    cfg32conf = dataclasses.replace(cfg32bf, args=RunConfig(
+        encoder="resnet-conformer"))
+    bench_train_step(cfg32conf,
+                     "train-step throughput (resnet-conformer, B=32, bf16)")
 
     # ---- config 5: multi-format eval forward ------------------------------
     for loss_nm in ("accdoa", "adyolo"):
