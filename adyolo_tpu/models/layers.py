@@ -121,8 +121,13 @@ class SEBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
         if self.pool is not None:
-            x = nn.avg_pool(x, self.pool, strides=self.pool)
-            frame_mask = pool_mask(frame_mask, self.pool[0])
+            # non-overlapping avg pool as reshape+mean: same numbers as
+            # nn.avg_pool (window == stride) but the backward is a cheap
+            # broadcast instead of reduce_window's pad+select-scatter
+            B, T, F, C = x.shape
+            pt, pf = self.pool
+            x = x.reshape(B, T // pt, pt, F // pf, pf, C).mean(axis=(2, 4))
+            frame_mask = pool_mask(frame_mask, pt)
             x = apply_frame_mask(x, frame_mask)
         residual = x
         in_ch = x.shape[-1]
