@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import apply_frame_mask, pool_mask
+from .layers import Conv3x3, apply_frame_mask, pool_mask
 
 __all__ = ["ResNetConformer"]
 
@@ -51,12 +51,18 @@ class TVBasicBlock(nn.Module):
     def __call__(self, x, train: bool, frame_mask=None):
         residual = x
         stride = (1, self.f_stride)
-        out = nn.Conv(self.planes, (3, 3), strides=stride, padding=1,
-                      use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # stride-1 3x3 convs go through the frequency-packed path (exact
+        # math; the 64-channel blocks underfill the MXU otherwise)
+        if self.f_stride == 1:
+            out = Conv3x3(self.planes, use_bias=False, dtype=self.dtype,
+                          name="conv1")(x)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=stride, padding=1,
+                          use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = apply_frame_mask(out, frame_mask)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+        out = Conv3x3(self.planes, use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = _bn(train, "bn2", self.dtype)(out)
         out = apply_frame_mask(out, frame_mask)
