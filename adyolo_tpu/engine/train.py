@@ -91,17 +91,25 @@ class _PreemptionGuard:
 
 
 def _local_exp_id() -> str:
-    """``local-<timestamp>`` id (reference train.py:108), agreed across
-    processes: every host must open the SAME experiment directory, so
-    process 0's clock wins under multi-host."""
-    ts = datetime.now().strftime("%Y%m%d-%H%M%S")
-    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
-        from jax.experimental import multihost_utils
+    """``local-<timestamp>`` id (reference train.py:108).  Multi-host
+    agreement happens at the caller via :func:`_broadcast_str` — keeping
+    this collective-free means ranks may take different paths to their
+    provisional id without deadlocking."""
+    return "local-" + datetime.now().strftime("%Y%m%d-%H%M%S")
 
-        arr = np.frombuffer(ts.encode("ascii"), dtype=np.uint8)
-        arr = multihost_utils.broadcast_one_to_all(arr)
-        ts = bytes(np.asarray(arr)).decode("ascii")
-    return "local-" + ts
+
+def _broadcast_str(s: str, width: int = 128) -> str:  # pragma: no cover
+    """Host 0's string wins across processes (fixed-width ascii so every
+    rank contributes an identically-shaped buffer)."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(width, np.uint8)
+    raw = s.encode("ascii")[:width]
+    buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode("ascii")
 
 
 def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
@@ -141,8 +149,14 @@ def train_model(args: Dict, is_resume: bool = False,
                 and not meta.get("neptune_api_token"):
             meta["neptune_api_token"] = get_logging_meta_config(
                 cfg.args.config_dir).get("neptune_api_token")
-        neptune_logger = make_logger(cfg.args.logger, meta,
-                                     resume_id=args["resume_pth"])
+        # reattach the run whose sys-id was frozen at create time; exp_id
+        # itself is NOT a valid neptune id when --exp_id was explicit (or
+        # when the original run was created without credentials), in which
+        # case a fresh run is opened.  Only host 0 talks to neptune.
+        neptune_logger = (
+            make_logger(cfg.args.logger, meta,
+                        resume_id=meta.get("neptune_run_id"))
+            if jax.process_index() == 0 else None)
         key = jax.random.PRNGKey(cfg.args.seed)  # replaced by ckpt restore below
     else:
         from ..config import build_config
@@ -156,12 +170,22 @@ def train_model(args: Dict, is_resume: bool = False,
         # and log_params are plaintext artifacts (the reference freezes the
         # credential verbatim, utility.py:84-90 — deliberate deviation)
         frozen_meta = {**meta, "neptune_api_token": None}
+        # one neptune run per experiment: only host 0 talks to neptune
+        neptune_logger = (make_logger(cfg.args.logger, meta)
+                          if jax.process_index() == 0 else None)
+        sys_id = neptune_logger.sys_id if neptune_logger is not None else None
+        if sys_id:
+            # persist the run id for --resume_pth reattachment (it differs
+            # from exp_id whenever --exp_id is explicit)
+            frozen_meta["neptune_run_id"] = sys_id
         cfg = dataclasses.replace(
             cfg, args=dataclasses.replace(cfg.args, logging_meta=frozen_meta))
-        neptune_logger = make_logger(cfg.args.logger, meta)
-        exp_id = (args.get("exp_id")
-                  or (neptune_logger.sys_id if neptune_logger is not None else None)
-                  or _local_exp_id())
+        exp_id = args.get("exp_id") or sys_id or _local_exp_id()
+        if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+            # every host must open the SAME experiment directory; host 0's
+            # id (possibly neptune-derived) wins — one unconditional
+            # collective so no rank takes a divergent path
+            exp_id = _broadcast_str(exp_id)
         cfg = dataclasses.replace(cfg, args=dataclasses.replace(cfg.args, exp_id=exp_id))
         output_pth = os.path.join(results_dir, exp_id)
         os.makedirs(output_pth, exist_ok=True)
@@ -171,7 +195,9 @@ def train_model(args: Dict, is_resume: bool = False,
 
     if neptune_logger is not None:
         logger = neptune_logger
-    elif cfg.args.logger:
+    elif cfg.args.logger and jax.process_index() == 0:
+        # one writer: under multi-host only host 0 logs (the JSONL path is
+        # on a shared results directory)
         logger = JsonlLogger(os.path.join(output_pth, "logs.jsonl"))
     else:
         logger = NullLogger()
@@ -275,7 +301,10 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
             train_loader, train_step, state, key, place_batch, cfg.args.quick_test,
             guard)
         train_time = (time.time() - t0) / 60.0
-        if guard.stop:
+        # should_stop() (not the raw flag): a signal landing between the
+        # last in-epoch check and here must be agreed on by every host or
+        # the survivors deadlock in the next epoch's collectives
+        if guard.should_stop():
             # preemption: persist a resumable checkpoint for THIS epoch
             if rank == 0:
                 save_checkpoint(

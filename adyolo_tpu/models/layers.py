@@ -123,10 +123,15 @@ class SEBasicBlock(nn.Module):
         if self.pool is not None:
             # non-overlapping avg pool as reshape+mean: same numbers as
             # nn.avg_pool (window == stride) but the backward is a cheap
-            # broadcast instead of reduce_window's pad+select-scatter
+            # broadcast instead of reduce_window's pad+select-scatter.
+            # Non-divisible dims (exotic mel_bins presets) keep the old
+            # flooring reduce_window semantics.
             B, T, F, C = x.shape
             pt, pf = self.pool
-            x = x.reshape(B, T // pt, pt, F // pf, pf, C).mean(axis=(2, 4))
+            if T % pt == 0 and F % pf == 0:
+                x = x.reshape(B, T // pt, pt, F // pf, pf, C).mean(axis=(2, 4))
+            else:
+                x = nn.avg_pool(x, self.pool, strides=self.pool)
             frame_mask = pool_mask(frame_mask, pt)
             x = apply_frame_mask(x, frame_mask)
         residual = x

@@ -157,9 +157,9 @@ def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: i
     threshold — the host checks the k-th value and falls back to the full
     grid otherwise (only plausible with untrained models).
 
-    Returns one PACKED array (B, T, k, 1+K+2) = [obj ‖ cls ‖ uv] plus the
-    max k-th objectness (truncation-guard scalar), so a single
-    device->host transfer + one scalar sync covers the whole decode.
+    Returns one PACKED array (B, T, k, 1+K+2) = [obj ‖ cls ‖ uv]; a single
+    device->host transfer covers the whole decode (the caller derives the
+    truncation guard from the packed k-th objectness column host-side).
     """
     cls, obj, uv = _adyolo_device_decode(logits, geom, nb_classes)
     B, T = obj.shape[:2]
@@ -168,8 +168,7 @@ def _adyolo_device_decode_topk(logits, geom: GridGeometry, nb_classes: int, k: i
     cls_k = jnp.take_along_axis(cls.reshape(B, T, -1, nb_classes),
                                 idx[..., None], axis=2)
     uv_k = jnp.take_along_axis(uv.reshape(B, T, -1, 2), idx[..., None], axis=2)
-    packed = jnp.concatenate([val[..., None], cls_k, uv_k], axis=-1)
-    return packed, jnp.max(val[..., -1])
+    return jnp.concatenate([val[..., None], cls_k, uv_k], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +319,7 @@ class PostProcessor:
         K = self.nb_classes
         k = min(self.decode_topk, n_anchors) if self.decode_topk else n_anchors
         if k < n_anchors:
-            packed, _ = _adyolo_device_decode_topk(logits, self.geom, K, k)
+            packed = _adyolo_device_decode_topk(logits, self.geom, K, k)
             p = np.asarray(packed[0])  # ONE transfer: (T, k, 1+K+2)
             # truncation guard (host-side, no extra sync): if the k-th
             # candidate still clears the threshold somewhere, redo with

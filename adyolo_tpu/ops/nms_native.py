@@ -54,7 +54,10 @@ def nms_frame(rows: np.ndarray, mode: str, unify: float,
     out = np.empty((n, 4), np.float64)
     m = lib.nms_frame(
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
-        _MODES[mode], float(unify), float(temp),
+        _MODES.get(mode, _MODES["default"]),  # unknown -> greedy default,
+        # matching the reference's else-branch (datasets.py:837) and the
+        # numpy fallback
+        float(unify), float(temp),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out[:m]

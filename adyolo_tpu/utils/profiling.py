@@ -40,7 +40,13 @@ def device_peak_flops(device=None) -> Optional[float]:
 
 
 def compiled_flops(jitted, *args, **kwargs) -> Optional[float]:
-    """Analytic FLOPs of one invocation from XLA's compiled cost analysis."""
+    """Analytic FLOPs of one invocation from XLA's compiled cost analysis.
+
+    The *optimized* program's analysis is the honest numerator for MFU
+    (pre-lowering counts include ops that fuse or DCE away).  The AOT
+    compile here is a second compilation of the program the caller is
+    about to run, but the persistent compilation cache (enabled by
+    bench/cli entry points) makes it a cache hit."""
     try:
         ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
@@ -110,15 +116,20 @@ def _trace_device_seconds(logdir: str) -> Optional[float]:
     events = data.get("traceEvents", [])
     pid_names = {e["pid"]: e["args"].get("name", "") for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tpu_pids = sorted(p for p, n in pid_names.items() if "TPU" in n)
+    if not tpu_pids:
+        return None
+    # one device lane only: with multiple participating devices every lane
+    # carries its own copy of the top-level program event, and summing
+    # across lanes would overcount by the device count
+    pid0 = tpu_pids[0]
     total = 0.0
     for e in events:
-        if e.get("ph") != "X":
-            continue
-        if "TPU" not in pid_names.get(e.get("pid"), ""):
+        if e.get("ph") != "X" or e.get("pid") != pid0:
             continue
         name = e.get("name", "")
         # top-level executable events carry the jit program name
-        if name.startswith("jit_") or name.startswith("jit(") :
+        if name.startswith("jit_") or name.startswith("jit("):
             total += e.get("dur", 0.0)
     return total * 1e-6 if total > 0 else None
 

@@ -162,12 +162,16 @@ def main() -> None:
         s = state
         for _ in range(3):
             s, loss = step(s, batch, key)
-        jax.block_until_ready(loss)
+        # host fetch: the only guaranteed queue drain on this stack
+        # (block_until_ready can return early through the PJRT tunnel);
+        # the donated-state chain itself was trace-verified honest, the
+        # fetches make the window boundaries exact
+        float(loss)
         t0 = time.perf_counter()
         N = 15
         for _ in range(N):
             s, loss = step(s, batch, key)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = (time.perf_counter() - t0) / N
         _emit(label, B32 * secs / dt, "audio_s/s", flops=flops, dt=dt)
 

@@ -180,3 +180,40 @@ def test_preprocess_cli_uses_config_dir(tmp_path, monkeypatch):
     assert rc == 0
     assert seen["cfg"].mel_bins == 32
     assert seen["cfg"].dataset == "DCASE2022"
+
+
+def test_resume_reattaches_run_id_not_exp_id(fake_neptune, tmp_path, monkeypatch):
+    """With an explicit --exp_id the experiment dir name is NOT a neptune
+    sys-id; resume must reattach via the frozen neptune_run_id instead of
+    passing exp_id as with_id (code-review finding)."""
+    cd = tmp_path / "configs"
+    cd.mkdir()
+    (cd / "logging_meta_config.yaml").write_text(
+        "neptune_project: 'ws/proj'\nneptune_api_token: 'tok'\n")
+
+    from adyolo_tpu.engine import train as train_mod
+
+    class _Abort(Exception):
+        pass
+
+    monkeypatch.setattr(train_mod, "SELDDataset",
+                        lambda *a, **k: (_ for _ in ()).throw(_Abort()))
+    args = {"action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
+            "loss": "adyolo", "seed": 1, "logger": True, "exp_id": "my-exp",
+            "config_dir": str(cd), "results_dir": str(tmp_path / "results")}
+    with pytest.raises(_Abort):
+        train_mod.train_model(args)
+    exp_dir = tmp_path / "results" / "my-exp"
+    assert exp_dir.is_dir()
+    import yaml as _yaml
+
+    frozen_meta = _yaml.safe_load(
+        (exp_dir / "hyp_exp.yaml").read_text())["args"]["logging_meta"]
+    assert frozen_meta["neptune_run_id"] == "AD-42"
+
+    (exp_dir / "model_ckpt.ckpt").touch()
+    args2 = dict(args, resume_pth="my-exp", exp_id=None)
+    with pytest.raises(_Abort):
+        train_mod.train_model(args2, is_resume=True)
+    resumed = fake_neptune.runs[-1]
+    assert resumed.init_kwargs.get("with_id") == "AD-42"  # NOT "my-exp"
