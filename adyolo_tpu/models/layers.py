@@ -29,6 +29,7 @@ from ..ops.packed_conv import best_pack, conv3x3_packed
 __all__ = [
     "apply_frame_mask",
     "pool_mask",
+    "BatchNorm",
     "Conv3x3",
     "SELayer",
     "SEBasicBlock",
@@ -63,6 +64,51 @@ class Conv3x3(nn.Module):
                               (self.features,))
             y = y + bias.astype(self.dtype)
         return y
+
+
+class BatchNorm(nn.Module):
+    """torch-semantics BatchNorm with a compute-dtype apply.
+
+    flax's nn.BatchNorm promotes the normalize pass to f32 (mean/var stay
+    f32), doubling the elementwise traffic of every BN in a bf16 conv
+    stack (~15 ms/step at B=32 on v5e, profiler-measured).  Here the
+    statistics are still computed and tracked in f32 (one-pass
+    E[x^2]-E[x]^2 like flax ``use_fast_variance``; running-stats update
+    identical: ``m*ra + (1-m)*batch``), but the per-element normalization
+    collapses to ``x * mul + shift`` with ``mul/shift`` pre-folded and
+    cast to the input dtype — one fused multiply-add at bf16 width.
+    Param/collection layout matches nn.BatchNorm ('scale'/'bias' params,
+    'mean'/'var' batch_stats), so checkpoints and golden tests are
+    unaffected."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * mul
+        return x * mul.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def apply_frame_mask(x: jax.Array, frame_mask: Optional[jax.Array]) -> jax.Array:
@@ -134,22 +180,19 @@ class SEBasicBlock(nn.Module):
         out = Conv3x3(self.planes, use_bias=False,
                       dtype=self.dtype, name="conv1")(x)
         out = nn.relu(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train)
         out = apply_frame_mask(out, frame_mask)
 
         out = Conv3x3(self.planes, use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="bn2")(out)
+        out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train)
         out = apply_frame_mask(out, frame_mask)
         out = SELayer(self.reduction, dtype=self.dtype, name="se")(out, frame_mask)
 
         if in_ch != self.planes:
             residual = nn.Conv(self.planes, (1, 1), use_bias=False,
                                dtype=self.dtype, name="down_conv")(residual)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype, name="down_bn")(residual)
+            residual = BatchNorm(dtype=self.dtype, name="down_bn")(residual, not train)
             residual = apply_frame_mask(residual, frame_mask)
 
         out = nn.relu(out + residual)

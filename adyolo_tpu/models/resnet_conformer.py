@@ -35,8 +35,9 @@ __all__ = ["ResNetConformer"]
 
 
 def _bn(train, name, dtype=jnp.float32):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=dtype, name=name)
+    from .layers import BatchNorm
+
+    return lambda x: BatchNorm(dtype=dtype, name=name)(x, not train)
 
 
 class TVBasicBlock(nn.Module):

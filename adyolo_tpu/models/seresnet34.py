@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (
+    BatchNorm,
     BiGRU,
     Conv3x3,
     SEBasicBlock,
@@ -55,8 +56,7 @@ class SEResNet34(nn.Module):
         x = Conv3x3(_FILTERS[0], use_bias=True, dtype=self.dtype,
                     name="conv1")(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
         x = apply_frame_mask(x, frame_mask)
 
         for stage, (n_blocks, planes, pool) in enumerate(zip(_LAYERS, _FILTERS, _POOLS)):
