@@ -82,15 +82,17 @@ class FeedForwardModule(nn.Module):
     dim: int
     expansion: int = 4
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.Dense(self.dim * self.expansion,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.Dense(self.dim * self.expansion, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = x * jax.nn.sigmoid(x)  # swish
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform())(x)
+        x = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -101,23 +103,28 @@ class MHSA(nn.Module):
     dim: int
     heads: int = 4
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
         B, T, D = x.shape
         H = self.heads
         dh = D // H
-        q = nn.Dense(D, name="query")(x).reshape(B, T, H, dh)
-        k = nn.Dense(D, name="key")(x).reshape(B, T, H, dh)
-        v = nn.Dense(D, name="value")(x).reshape(B, T, H, dh)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
+        q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, dh)
+        k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, T, H, dh)
+        v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, T, H, dh)
+        # scores/softmax in f32 regardless of compute dtype (bf16 logits
+        # into softmax cost accuracy for free — the (T, T) matrices are a
+        # small part of the attention FLOPs)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (dh ** -0.5)
         if frame_mask is not None:
             neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
             scores = jnp.where(frame_mask[:, None, None, :], scores, neg)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, D)
-        return nn.Dense(D, name="linear")(ctx)
+        return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
 
 
 class ConformerConvModule(nn.Module):
@@ -128,12 +135,14 @@ class ConformerConvModule(nn.Module):
     dilation: int = 1
     kernel: int = 3
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
-        x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.Dense(2 * self.dim, name="pw1")(x)  # pointwise == Dense over C
-        x = _bn(train, "bn1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.Dense(2 * self.dim, dtype=self.dtype,
+                     name="pw1")(x)  # pointwise == Dense over C
+        x = _bn(train, "bn1", self.dtype)(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(b)  # GLU
         x = apply_frame_mask(x, frame_mask)
@@ -147,11 +156,12 @@ class ConformerConvModule(nn.Module):
         b = self.param("dw_bias", nn.initializers.zeros, (self.dim,))
         T = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        w = w.astype(x.dtype)
         x = sum(xp[:, k * self.dilation : k * self.dilation + T] * w[k]
-                for k in range(self.kernel)) + b
-        x = _bn(train, "bn2")(x)
+                for k in range(self.kernel)) + b.astype(x.dtype)
+        x = _bn(train, "bn2", self.dtype)(x)
         x = x * jax.nn.sigmoid(x)  # swish
-        x = nn.Dense(self.dim, name="pw2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return apply_frame_mask(x, frame_mask)
 
@@ -163,25 +173,29 @@ class ConformerBlock(nn.Module):
     dim: int
     dilation: int
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
-        x = x + 0.5 * FeedForwardModule(self.dim, name="ffn1")(x, train)
-        h = nn.LayerNorm(epsilon=1e-5, name="mhsa_ln")(x)
-        h = MHSA(self.dim, name="mhsa")(h, train, frame_mask)
+        x = x + 0.5 * FeedForwardModule(self.dim, dtype=self.dtype,
+                                        name="ffn1")(x, train)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mhsa_ln")(x)
+        h = MHSA(self.dim, dtype=self.dtype, name="mhsa")(h, train, frame_mask)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = x + 0.5 * h
-        x = x + ConformerConvModule(self.dim, self.dilation, name="conv")(
-            x, train, frame_mask)
-        x = x + 0.5 * FeedForwardModule(self.dim, name="ffn2")(x, train)
-        return nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
+        x = x + ConformerConvModule(self.dim, self.dilation, dtype=self.dtype,
+                                    name="conv")(x, train, frame_mask)
+        x = x + 0.5 * FeedForwardModule(self.dim, dtype=self.dtype,
+                                        name="ffn2")(x, train)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
 
 
 class ResNetConformer(nn.Module):
     emb_dim: int = 256
     num_layers: int = 8
     time_pool: int = 4
-    dtype: Any = jnp.float32  # resnet-stage dtype; conformer blocks stay f32
+    dtype: Any = jnp.float32  # compute dtype for the resnet stages AND the
+    # conformer blocks (attention softmax stays f32 inside MHSA)
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
@@ -216,16 +230,17 @@ class ResNetConformer(nn.Module):
         # (B, T, F=1, 512) -> (B, T, 512)
         x = x.reshape(x.shape[0], x.shape[1], -1)
 
-        x = nn.Dense(self.emb_dim, use_bias=False, name="bottleneck")(
-            x.astype(jnp.float32))
+        x = nn.Dense(self.emb_dim, use_bias=False, dtype=self.dtype,
+                     name="bottleneck")(x)
 
         for i in range(self.num_layers):
-            x = ConformerBlock(self.emb_dim, dilation=2 ** i,
+            x = ConformerBlock(self.emb_dim, dilation=2 ** i, dtype=self.dtype,
                                name=f"conformer{i}")(x, train, frame_mask)
 
         # time pooling by 4 + LN (PoolingModule; sum of two identical avg
         # pools == 2*avg, invariant under the following LayerNorm)
         B, T, D = x.shape
+        x = x.astype(jnp.float32)  # encoder output stays f32 (like SEResNet34)
         x = x.reshape(B, T // self.time_pool, self.time_pool, D).mean(axis=2)
         x = nn.LayerNorm(epsilon=1e-5, name="pool_norm")(x)
         if frame_mask is not None:
