@@ -114,9 +114,10 @@ def _trace_device_seconds(logdir: str) -> Optional[float]:
     with gzip.open(sorted(paths)[-1]) as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+    pid_names = {e["pid"]: e.get("args", {}).get("name", "") for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tpu_pids = sorted(p for p, n in pid_names.items() if "TPU" in n)
+    tpu_pids = sorted(p for p, n in pid_names.items()
+                      if "TPU" in n or "GPU" in n.upper())
     if not tpu_pids:
         return None
     # one device lane only: with multiple participating devices every lane
