@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import signal
 import time
 from datetime import datetime
@@ -35,8 +36,9 @@ from ..metrics.seld import SegmentScorer
 from ..models.wrapper import build_model, make_criterion
 from ..ops.decode import PostProcessor
 from ..parallel.mesh import make_mesh
-from ..parallel.train_step import (build_eval_forward, build_train_step,
-                                   init_state, make_batch_placer)
+from ..parallel.train_step import (build_eval_forward, build_eval_criterion,
+                                   build_train_step, init_state,
+                                   make_batch_placer)
 from ..utils.logging import (JsonlLogger, NullLogger, get_logging_meta_config,
                              make_logger)
 from ..utils.rng import get_rng_state, seed_init, set_rng_state
@@ -105,28 +107,41 @@ def _broadcast_str(s: str, width: int = 128) -> str:  # pragma: no cover
         return s
     from jax.experimental import multihost_utils
 
+    raw = s.encode("utf-8", errors="replace")
+    if len(raw) > width:
+        raise ValueError(
+            f"exp_id too long to broadcast ({len(raw)} > {width} bytes): {s!r}")
     buf = np.zeros(width, np.uint8)
-    raw = s.encode("ascii")[:width]
     buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return bytes(out[out != 0]).decode("ascii")
+    # strip only the trailing zero padding — a NUL can never appear inside
+    # a utf-8 encoded string, but multi-byte content must survive intact
+    return bytes(out).rstrip(b"\x00").decode("utf-8", errors="replace")
 
 
 def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
                     guard=None):
-    """Hot loop (train.py:40-62): place sharded batch -> fused step."""
-    total, n = 0.0, 0
+    """Hot loop (train.py:40-62): place sharded batch -> fused step.
+
+    Loss scalars stay on device until the epoch ends — a per-batch
+    ``float(loss)`` host round-trip defeats dispatch pipelining (the host
+    would wait out every step instead of queueing the next one while the
+    device works)."""
+    losses = []
     for i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
         batch = place_batch(batch)
         state, loss = train_step(state, batch, sub)
-        total += float(loss)
-        n += 1
+        losses.append(loss)
         if quick_test and i == 4:
             break
         if guard is not None and guard.should_stop():
             break
-    return state, key, total / max(n, 1)
+    if not losses:
+        return state, key, 0.0
+    import jax.numpy as jnp
+
+    return state, key, float(jnp.mean(jnp.stack(losses)))
 
 
 def train_model(args: Dict, is_resume: bool = False,
@@ -152,10 +167,19 @@ def train_model(args: Dict, is_resume: bool = False,
         # reattach the run whose sys-id was frozen at create time; exp_id
         # itself is NOT a valid neptune id when --exp_id was explicit (or
         # when the original run was created without credentials), in which
-        # case a fresh run is opened.  Only host 0 talks to neptune.
+        # case a fresh run is opened.  Back-compat: checkpoints frozen
+        # before neptune_run_id existed get the old behavior — in the
+        # auto-named case exp_id IS the sys-id, so reattach via it.
+        resume_id = meta.get("neptune_run_id")
+        if not resume_id and re.fullmatch(r"[A-Z][A-Z0-9]*-\d+",
+                                          args["resume_pth"]):
+            resume_id = args["resume_pth"]
+        if cfg.args.logger and not resume_id and jax.process_index() == 0:
+            print("[adyolo_tpu] resume: no neptune run id recorded in the "
+                  "frozen config; a FRESH neptune run will be opened",
+                  flush=True)
         neptune_logger = (
-            make_logger(cfg.args.logger, meta,
-                        resume_id=meta.get("neptune_run_id"))
+            make_logger(cfg.args.logger, meta, resume_id=resume_id)
             if jax.process_index() == 0 else None)
         key = jax.random.PRNGKey(cfg.args.seed)  # replaced by ckpt restore below
     else:
@@ -222,6 +246,7 @@ def train_model(args: Dict, is_resume: bool = False,
     train_step = build_train_step(cfg, model, frontend, mesh)
     place_batch = make_batch_placer(cfg, mesh)
     eval_fwd = build_eval_forward(cfg, eval_model, frontend)
+    eval_crit = build_eval_criterion(cfg, criterion)
     postprocessor = PostProcessor(cfg)
 
     state = init_state(cfg, model, frontend, jax.random.PRNGKey(cfg.args.seed))
@@ -261,7 +286,7 @@ def train_model(args: Dict, is_resume: bool = False,
             state_box := [state], key_box := [key], place_batch, train_ds,
             valid_loader, test_loader, eval_fwd, criterion, postprocessor,
             val_scorer, test_scorer, best_log_box := [best_log],
-            output_pth, logger)
+            output_pth, logger, eval_crit)
     finally:
         guard.__exit__()
     if preempted:
@@ -277,7 +302,7 @@ def train_model(args: Dict, is_resume: bool = False,
 def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
                 state_box, key_box, place_batch, train_ds, valid_loader,
                 test_loader, eval_fwd, criterion, postprocessor, val_scorer,
-                test_scorer, best_log_box, output_pth, logger):
+                test_scorer, best_log_box, output_pth, logger, eval_crit=None):
     """Epoch loop body; returns True when preempted.  State/key/best_log
     travel in single-element lists so the caller sees final values.
 
@@ -349,11 +374,13 @@ def _run_epochs(cfg, guard, start_epoch, last_epoch, train_loader, train_step,
         # val / test phase (train.py:209-219)
         t0 = time.time()
         val_loss = test_epoch(valid_loader, state, eval_fwd, criterion, postprocessor,
-                              os.path.join(output_pth, rank_dir("output_val")))
+                              os.path.join(output_pth, rank_dir("output_val")),
+                              eval_crit=eval_crit)
         val_time = (time.time() - t0) / 60.0
         t0 = time.time()
         test_loss = test_epoch(test_loader, state, eval_fwd, criterion, postprocessor,
-                               os.path.join(output_pth, rank_dir("output_test")))
+                               os.path.join(output_pth, rank_dir("output_test")),
+                               eval_crit=eval_crit)
         test_time = (time.time() - t0) / 60.0
 
         val_s = val_scorer.get_SELD_Results(os.path.join(output_pth, rank_dir("output_val")))
