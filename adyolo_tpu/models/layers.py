@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.packed_conv import best_pack, conv3x3_packed
+from ..ops.packed_conv import best_pack, conv3x3_fullpack, conv3x3_packed
 
 __all__ = [
     "apply_frame_mask",
@@ -56,9 +56,18 @@ class Conv3x3(nn.Module):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
-        pack = best_pack(self.features, x.shape[2])
-        y = conv3x3_packed(x.astype(self.dtype), kernel.astype(self.dtype),
-                           pack)
+        if x.shape[2] <= 2:
+            # freq-only-strided stems end at F ∈ {1, 2}, where the spatial
+            # 3x3 wastes freq taps on padding: whole-F packing to a (3, 1)
+            # time conv is exact and measured faster (F=1/C=512: 0.72 ->
+            # 0.31 ms fwd, 2.01 -> 1.20 ms bwd on v5e; see
+            # scripts/conv_bench.py)
+            y = conv3x3_fullpack(x.astype(self.dtype),
+                                 kernel.astype(self.dtype))
+        else:
+            pack = best_pack(self.features, x.shape[2])
+            y = conv3x3_packed(x.astype(self.dtype), kernel.astype(self.dtype),
+                               pack)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
@@ -98,7 +107,9 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            # stats in (at least) f32; a float64 input keeps f64 stats so
+            # the x64 gradient-parity oracle stays exact end-to-end
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=axes)
             mean2 = jnp.mean(jnp.square(xf), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)

@@ -41,6 +41,8 @@ class SEResNet34(nn.Module):
     enc_out_dim: int = 256
     time_pool: int = 4  # total time downsampling (matches label rate: 800->200)
     dtype: Any = jnp.float32  # conv-stack compute dtype (bf16 for training)
+    gru_dropout: float = 0.3  # inter-layer GRU dropout (resnet.py:153);
+    # overridable so gradient-parity tests can run train-mode deterministically
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
@@ -68,10 +70,12 @@ class SEResNet34(nn.Module):
                     name=f"layer{stage + 1}_block{b}",
                 )(x, train, frame_mask)
 
-        x = SelfAttentionPooling(name="attention")(x.astype(jnp.float32))  # (B, T/4, 256)
+        # attention/GRU tail runs in >= f32 (f64 under the x64 parity oracle)
+        x = SelfAttentionPooling(name="attention")(
+            x.astype(jnp.promote_types(x.dtype, jnp.float32)))  # (B, T/4, 256)
 
         lengths = None if feat_lengths is None else feat_lengths // self.time_pool
-        x = BiGRU(hidden=self.enc_out_dim // 2, num_layers=2, dropout=0.3,
-                  name="gru")(x, train, lengths)
+        x = BiGRU(hidden=self.enc_out_dim // 2, num_layers=2,
+                  dropout=self.gru_dropout, name="gru")(x, train, lengths)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return jnp.tanh(x)

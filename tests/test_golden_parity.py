@@ -69,8 +69,16 @@ def _dense(sd, name):
     return {"kernel": sd[f"{name}.weight"].numpy().T, "bias": sd[f"{name}.bias"].numpy()}
 
 
-def seresnet_torch_to_flax(tm: torch.nn.Module):
-    sd = {k: v.detach() for k, v in tm.state_dict().items()}
+def _as_sd(tm):
+    """Module -> detached state_dict; a plain tensor dict passes through
+    (lets the same converters map torch GRADIENTS into the flax layout)."""
+    if isinstance(tm, dict):
+        return tm
+    return {k: v.detach() for k, v in tm.state_dict().items()}
+
+
+def seresnet_torch_to_flax(tm):
+    sd = _as_sd(tm)
     params = {"conv1": _conv(sd, "conv1", bias=True), "bn1": _bn_p(sd, "bn1")}
     stats = {"bn1": _bn_s(sd, "bn1")}
     layers = [3, 4, 6, 3]
@@ -108,8 +116,8 @@ def seresnet_torch_to_flax(tm: torch.nn.Module):
     return {"params": params, "batch_stats": stats}
 
 
-def head_torch_to_flax(th: torch.nn.Module, mapping):
-    sd = {k: v.detach() for k, v in th.state_dict().items()}
+def head_torch_to_flax(th, mapping):
+    sd = _as_sd(th)
     return {"params": {
         flax_name: _dense(sd, torch_name) for torch_name, flax_name in mapping
     }}
