@@ -27,7 +27,8 @@ from ..metrics.seld import SegmentScorer
 from ..models.wrapper import build_model, make_criterion
 from ..ops.decode import PostProcessor
 from ..ops.features import FeatureFrontend, Scaler, identity_scaler
-from ..parallel.train_step import TrainState, build_eval_forward, init_state
+from ..parallel.train_step import (TrainState, build_eval_forward,
+                                   build_eval_criterion, init_state)
 from .checkpoint import load_checkpoint
 
 __all__ = ["test_epoch", "test_model", "make_frontend", "delete_and_create_folder"]
@@ -64,24 +65,35 @@ def test_epoch(
     criterion: Optional[Callable],
     postprocessor: PostProcessor,
     output_pth: str,
+    eval_crit: Optional[Callable] = None,
 ) -> float:
     """Forward + decode + CSV per clip; returns mean loss (test.py:33-60).
-    The loss is computed eagerly on the valid-frame slice so bucket
-    padding cannot perturb reported numbers."""
+
+    With ``eval_crit`` (``build_eval_criterion``) the criterion runs as a
+    jitted frame-masked device program on the forward's output; the eager
+    valid-slice criterion path remains as the fallback (and the oracle
+    the masked value is tested against)."""
     delete_and_create_folder(output_pth)
     total_loss, n = 0.0, 0
     for item in loader:
+        t_valid = item["nb_label_frames"]
         out = eval_fwd(state.params, state.batch_stats,
                        jnp.asarray(item["audio"]),
                        jnp.asarray(item["valid_feat_frames"]))
-        t_valid = item["nb_label_frames"]
         if criterion is not None and "targets" in item:
-            trimmed = out[:, :t_valid]  # device slice; criterion is eager jax
-            if "target_mask" in item:
+            if eval_crit is not None:
+                tmask = (jnp.asarray(item["target_mask"])
+                         if "target_mask" in item else jnp.zeros((1,), bool))
+                loss = eval_crit(out, jnp.asarray(item["targets"]), tmask,
+                                 jnp.asarray([t_valid], jnp.int32))
+            elif "target_mask" in item:
+                trimmed = out[:, :t_valid]  # device slice; eager criterion
                 loss = criterion(trimmed, jnp.asarray(item["targets"]),
                                  jnp.asarray(item["target_mask"]))
             else:
-                loss = criterion(trimmed, jnp.asarray(item["targets"][:, :t_valid]), None)
+                trimmed = out[:, :t_valid]
+                loss = criterion(trimmed,
+                                 jnp.asarray(item["targets"][:, :t_valid]), None)
             total_loss += float(loss)
             n += 1
         # the output stays ON DEVICE: the adyolo decode runs there and only
@@ -158,6 +170,7 @@ def test_model(cfg_args: Dict, results_dir: str = "results") -> Dict:
     postprocessor.set_conf_thresh(host["confidence_thresh"])
     eval_fwd = build_eval_forward(cfg, model, frontend)
     criterion = make_criterion(cfg)
+    eval_crit = build_eval_criterion(cfg, criterion)
 
     results: Dict = {}
     if action in ("val", "test"):
@@ -172,7 +185,8 @@ def test_model(cfg_args: Dict, results_dir: str = "results") -> Dict:
 
             t0 = time.time()
             loss = test_epoch(loader, state, eval_fwd, criterion, postprocessor,
-                              os.path.join(output_pth, "output_eval"))
+                              os.path.join(output_pth, "output_eval"),
+                              eval_crit=eval_crit)
             print(f"eval time: {(time.time() - t0) / 60:0.2f} min, loss: {loss:0.4f}")
 
             ref_dir = os.path.join(cfg.data.data_pth, "metadata_dev", f"dev-{action}")

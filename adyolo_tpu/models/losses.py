@@ -72,19 +72,35 @@ def _bce_logits_neg(z):
 # ---------------------------------------------------------------------------
 
 
-def seddoa_loss(output, target, nb_classes: int, masked_mse: bool):
-    """output/target: (B, T, 4K) = [sed K ‖ doa 3K] (loss.py:42-54)."""
+def _frame_mean(x, frame_mask):
+    """Mean over (B, T, ...) restricted to valid frames.  With
+    ``frame_mask=None`` this is ``x.mean()`` exactly; otherwise it equals
+    the mean of ``x[:, :t_valid]`` for every per-row validity prefix —
+    the jit-compatible form of the eval engine's eager trim."""
+    if frame_mask is None:
+        return jnp.mean(x)
+    fm = frame_mask.astype(x.dtype)
+    per_frame = int(np.prod(x.shape[2:]))
+    denom = jnp.maximum(fm.sum() * per_frame, 1.0)
+    return jnp.sum(x * fm.reshape(fm.shape + (1,) * (x.ndim - 2))) / denom
+
+
+def seddoa_loss(output, target, nb_classes: int, masked_mse: bool,
+                frame_mask=None):
+    """output/target: (B, T, 4K) = [sed K ‖ doa 3K] (loss.py:42-54).
+    ``frame_mask``: optional (B, T) validity — means run over valid frames
+    only (bucket-padded eval clips)."""
     sed_o, doa_o = output[..., :nb_classes], output[..., nb_classes:]
     sed_t, doa_t = target[..., :nb_classes], target[..., nb_classes:]
-    sed_loss = bce_probs(sed_o, sed_t).mean()
+    sed_loss = _frame_mean(bce_probs(sed_o, sed_t), frame_mask)
     if masked_mse:
         doa_o = doa_o * jnp.tile(sed_t, (1, 1, 3))
-    doa_loss = jnp.mean((doa_o - doa_t) ** 2)
+    doa_loss = _frame_mean((doa_o - doa_t) ** 2, frame_mask)
     return sed_loss + 1000.0 * doa_loss
 
 
-def accdoa_loss(output, target):
-    return jnp.mean((output - target) ** 2)
+def accdoa_loss(output, target, frame_mask=None):
+    return _frame_mean((output - target) ** 2, frame_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +115,7 @@ _ADPIT_PERMS = (
 )
 
 
-def adpit_loss(output, target, nb_classes: int):
+def adpit_loss(output, target, nb_classes: int, frame_mask=None):
     """output: (B, T, 9K); target: (B, T, 6, 4, K) (loss.py:79-153)."""
     B, T = target.shape[:2]
     K = nb_classes
@@ -120,7 +136,7 @@ def adpit_loss(output, target, nb_classes: int):
     stack = jnp.stack(losses, axis=0)  # (13, B, T, K)
     idx = jnp.argmin(stack, axis=0)
     chosen = jnp.take_along_axis(stack, idx[None], axis=0)[0]
-    return chosen.mean()
+    return _frame_mean(chosen, frame_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -173,12 +189,17 @@ def adyolo_loss(
     nb_classes: int,
     train_unify: Sequence[float] = (45.0, 25.0, 10.0),
     gains: LossGains = LossGains(),
+    frame_mask=None,
 ):
     """AD-YOLO loss under static shapes (loss.py:189-251).
 
     logits:      (B, T, G0*G1*A*(K+3)) raw head output
     targets:     (M, 7) padded [batch, frame, Gi, Gj, class, U, V]
     target_mask: (M,) bool validity
+    frame_mask:  optional (B, T) frame validity — anchors of padded frames
+    leave the negative-objectness set and every denominator, making the
+    value equal to running the loss on ``logits[:, :t_valid]`` (the eval
+    engine's bucket-padded clips; targets never fall on padded frames)
 
     For each unify threshold τ the responsible anchors are
     ``D < τ  ∪  argmin_a D`` (loss.py:222-224); object/class one-hot grids
@@ -230,6 +251,14 @@ def adyolo_loss(
     pos_all = _bce_logits_pos(z_obj)
     neg_all = _bce_logits_neg(z_obj)
 
+    # bucket-padded eval clips: anchors of invalid frames leave the
+    # negative set and its denominator (targets never land there)
+    if frame_mask is None:
+        anchor_validf = None
+    else:
+        anchor_validf = jnp.repeat(
+            frame_mask.reshape(-1).astype(jnp.float32), g0 * g1 * A)  # (NP,)
+
     total = jnp.asarray(0.0, jnp.float32)
     n_taus = len(train_unify)
     for i, tau in enumerate(train_unify):
@@ -244,11 +273,16 @@ def adyolo_loss(
 
         n_pos = obj.sum()
         n_pos_f = jnp.maximum(n_pos, 1).astype(jnp.float32)
-        n_neg_f = jnp.maximum(NP - n_pos, 1).astype(jnp.float32)
 
         objf = obj.astype(jnp.float32)
         pos_loss = jnp.sum(pos_all * objf) / n_pos_f
-        neg_loss = jnp.sum(neg_all * (1.0 - objf)) / n_neg_f
+        if anchor_validf is None:
+            n_neg_f = jnp.maximum(NP - n_pos, 1).astype(jnp.float32)
+            neg_loss = jnp.sum(neg_all * (1.0 - objf)) / n_neg_f
+        else:
+            n_neg_f = jnp.maximum(
+                anchor_validf.sum() - n_pos.astype(jnp.float32), 1.0)
+            neg_loss = jnp.sum(neg_all * (1.0 - objf) * anchor_validf) / n_neg_f
 
         y = cls_lab.astype(jnp.float32)
         cls_elem = _bce_logits_pos(z_cls) * y + _bce_logits_neg(z_cls) * (1.0 - y)

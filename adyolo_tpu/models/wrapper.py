@@ -86,28 +86,35 @@ def build_model(cfg: Config, compute_dtype: Optional[str] = None) -> SELDModel:
 
 
 def make_criterion(cfg: Config) -> Callable:
-    """Returns ``loss_fn(output, target, target_mask=None) -> scalar``.
+    """Returns ``loss_fn(output, target, target_mask=None, frame_mask=None)
+    -> scalar``.
 
     For adyolo, ``target`` is the padded (M, 7) tensor + mask; for dense
-    formats the mask argument is ignored.
+    formats the mask argument is ignored.  ``frame_mask`` ((B, T) bool)
+    restricts every reduction to valid frames — the jit-compatible
+    equivalent of trimming bucket padding off the output.
     """
     nb = cfg.data.nb_classes
     name = cfg.args.loss
     if name == "seddoa":
-        return lambda o, t, m=None: L.seddoa_loss(o, t, nb, masked_mse=False)
+        return lambda o, t, m=None, fm=None: L.seddoa_loss(
+            o, t, nb, masked_mse=False, frame_mask=fm)
     if name == "masked-seddoa":
-        return lambda o, t, m=None: L.seddoa_loss(o, t, nb, masked_mse=True)
+        return lambda o, t, m=None, fm=None: L.seddoa_loss(
+            o, t, nb, masked_mse=True, frame_mask=fm)
     if name == "accdoa":
-        return lambda o, t, m=None: L.accdoa_loss(o, t)
+        return lambda o, t, m=None, fm=None: L.accdoa_loss(o, t, frame_mask=fm)
     if name == "adpit":
-        return lambda o, t, m=None: L.adpit_loss(o, t, nb)
+        return lambda o, t, m=None, fm=None: L.adpit_loss(o, t, nb,
+                                                          frame_mask=fm)
     if name == "adyolo":
         geom = make_grid_geometry(cfg)
         gains = cfg.train.loss_gains
         taus = tuple(cfg.train.train_unify)
 
-        def f(o, t, m):
-            return L.adyolo_loss(o, t, m, geom, nb, taus, gains)
+        def f(o, t, m, fm=None):
+            return L.adyolo_loss(o, t, m, geom, nb, taus, gains,
+                                 frame_mask=fm)
 
         return f
     raise NotImplementedError(f"loss: {name}")
