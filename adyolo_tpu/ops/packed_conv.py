@@ -34,7 +34,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["best_pack", "pack_weights", "conv3x3_packed"]
+__all__ = ["best_pack", "pack_weights", "conv3x3_packed",
+           "pack_weights_full", "conv3x3_fullpack"]
 
 
 def best_pack(cout: int, f_dim: int) -> int:
@@ -78,3 +79,47 @@ def conv3x3_packed(x: jax.Array, w: jax.Array, pack: int) -> jax.Array:
         x4, pack_weights(w, pack), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y4.reshape(B, T, F, K)
+
+
+def pack_weights_full(w: jax.Array, f_dim: int) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (3, 1, F*Cin, F*Cout): pack the ENTIRE
+    frequency axis into channels so the conv becomes a time-only (3, 1)
+    conv.  Valid taps: w31[du, 0, pi*Cin+c, po*Cout+k] = w[du, pi-po+1]
+    when 0 <= pi-po+1 <= 2 — the tridiagonal block structure exactly
+    reproduces SAME-padding boundary behavior (taps past the frequency
+    edge multiply zeros in the plain conv and are simply absent here)."""
+    cin, cout = w.shape[2], w.shape[3]
+    w31 = jnp.zeros((3, 1, f_dim * cin, f_dim * cout), w.dtype)
+    for pi in range(f_dim):
+        for po in range(f_dim):
+            dv = pi - po + 1
+            if 0 <= dv <= 2:
+                w31 = w31.at[:, 0, pi * cin : (pi + 1) * cin,
+                             po * cout : (po + 1) * cout].set(w[:, dv])
+    return w31
+
+
+def conv3x3_fullpack(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME 3x3 stride-1 NHWC conv with the WHOLE frequency axis folded
+    into channels — for the freq-only-strided conformer stem whose late
+    stages run at F ∈ {1, 2, 4} where a spatial 3x3 wastes its frequency
+    taps on padding (at F=1 two of three freq taps are pure zero-padding
+    work; at F=2 the dense packed form has ZERO FLOP inflation; at F=4 it
+    trades 1.6x block-padding FLOPs for full-lane (3,1) matmul shapes).
+
+    x: (B, T, F, Cin); w: (3, 3, Cin, Cout).  Exact same math as the
+    spatial conv (see :func:`pack_weights_full`).
+    """
+    B, T, F, C = x.shape
+    K = w.shape[3]
+    if F == 1:
+        # only the middle frequency tap can touch data
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B, T, 1, C), w[:, 1:2], (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y
+    x1 = x.reshape(B, T, 1, F * C)
+    y1 = jax.lax.conv_general_dilated(
+        x1, pack_weights_full(w, F), (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y1.reshape(B, T, F, K)

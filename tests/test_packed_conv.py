@@ -57,3 +57,29 @@ def test_best_pack_rules():
     assert best_pack(128, 16) == 1
     assert best_pack(32, 6) == 2   # F must divide the pack
     assert best_pack(32, 5) == 1
+
+
+def test_fullpack_matches_plain_conv():
+    """Whole-F-axis packing (F in {1, 2, 4}) is exactly the SAME-padded
+    spatial 3x3 conv (boundary taps included via tridiagonal blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adyolo_tpu.ops.packed_conv import conv3x3_fullpack
+
+    rng = np.random.default_rng(0)
+    for F, C, K in ((1, 16, 24), (2, 12, 8), (4, 8, 8)):
+        x = jnp.asarray(rng.standard_normal((2, 10, F, C)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, K)) * 0.1, jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_fullpack(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+        # gradients flow through the packed form identically
+        g1 = jax.grad(lambda w: jnp.sum(conv3x3_fullpack(x, w) ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
