@@ -1,0 +1,129 @@
+"""Epoch wall-clock vs device-step time on the real TPU (VERDICT r2 #5).
+
+Times a real training epoch end-to-end — host wav decode, rotation aug,
+label encode, host->device transfer, fused train step — against
+``iters x device-step-time``, and attributes the gap.  On this axon
+stack the host->device tunnel runs at ~27 MB/s, so the transfer term is
+measured separately (it dominates here but not on directly-attached
+hosts).
+
+Run from bash:  python scripts/epoch_walltime.py [--iters 20] [--augment]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    a = ap.parse_args()
+
+    import jax
+
+    from adyolo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import dataclasses
+
+    import numpy as np
+
+    from synth_data import make_synth_dataset
+
+    from adyolo_tpu.config import Config
+    from adyolo_tpu.data.dataset import SELDDataset, TrainLoader
+    from adyolo_tpu.engine.evaluate import make_frontend
+    from adyolo_tpu.engine.train import train_one_epoch
+    from adyolo_tpu.models.wrapper import build_model
+    from adyolo_tpu.parallel.train_step import (build_train_step, init_state,
+                                                make_batch_placer)
+
+    tmp = tempfile.mkdtemp(prefix="epochwt_")
+    root = make_synth_dataset(tmp, n_train=48, n_val=1, n_test=1)
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, data_pth=root),
+        train=dataclasses.replace(cfg.train, batch_size=a.batch,
+                                  nb_iters=a.iters,
+                                  compute_dtype=a.dtype),
+        args=dataclasses.replace(cfg.args, augment=a.augment),
+    )
+    frontend = make_frontend(cfg)
+    model = build_model(cfg)
+    train_ds = SELDDataset(cfg, "train")
+    loader = TrainLoader(train_ds, cfg)
+    step = build_train_step(cfg, model, frontend, None)
+    place = make_batch_placer(cfg, None)
+    state = init_state(cfg, model, frontend, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    # ---- warm up: one epoch compiles + fills OS file cache ----------------
+    t0 = time.perf_counter()
+    state, key, _ = train_one_epoch(loader, step, state, key, place, False)
+    print(f"warmup epoch (incl. compile): {time.perf_counter() - t0:0.1f} s",
+          flush=True)
+
+    # ---- device-resident step time (bench methodology) --------------------
+    train_ds.sampler  # keep pool semantics: resample like the engine does
+    batch0 = None
+    for b in loader:
+        batch0 = place(b)
+        break
+    s = state
+    s, loss = step(s, batch0, key)
+    float(loss)
+    t0 = time.perf_counter()
+    N = 10
+    for _ in range(N):
+        s, loss = step(s, batch0, key)
+    float(loss)
+    dt_step = (time.perf_counter() - t0) / N
+    print(f"device step (resident batch): {dt_step * 1e3:0.1f} ms", flush=True)
+
+    # ---- transfer time for one batch --------------------------------------
+    for b in loader:
+        host_batch = b
+        break
+    nbytes = sum(np.asarray(v).nbytes for v in host_batch.values())
+    t0 = time.perf_counter()
+    placed = place(host_batch)
+    jax.block_until_ready(placed["audio"])
+    # force materialization via tiny fetch (block_until_ready unreliable)
+    import jax.numpy as jnp
+
+    np.asarray(jnp.sum(placed["audio"][0, 0]))
+    dt_xfer = time.perf_counter() - t0
+    print(f"host->device transfer: {nbytes / 1e6:0.1f} MB in "
+          f"{dt_xfer:0.2f} s = {nbytes / dt_xfer / 1e6:0.1f} MB/s", flush=True)
+
+    # ---- measured epoch ----------------------------------------------------
+    t0 = time.perf_counter()
+    state, key, mean_loss = train_one_epoch(loader, step, state, key, place,
+                                            False)
+    wall = time.perf_counter() - t0
+    ideal = a.iters * dt_step
+    xfer_total = a.iters * dt_xfer
+    print(f"epoch wall-clock: {wall:0.1f} s for {a.iters} iters "
+          f"(mean loss {mean_loss:0.3f})", flush=True)
+    print(f"  ideal (iters x step):      {ideal:0.1f} s", flush=True)
+    print(f"  + transfer (iters x xfer): {ideal + xfer_total:0.1f} s",
+          flush=True)
+    print(f"  overhead vs ideal+xfer:    "
+          f"{(wall - ideal - xfer_total) / wall * 100:0.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()
