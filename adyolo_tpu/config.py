@@ -154,6 +154,14 @@ class TrainConfig:
     # clears the confidence threshold.  16 >> max real polyphony and cuts
     # the device->host transfer 10x vs the full 160-anchor grid.
     decode_topk: int = 16
+    # PRNG implementation for in-model dropout masks.  'rbg' routes bit
+    # generation through the TPU hardware RNG as ONE fusable
+    # RngBitGenerator op; threefry's op chain acts as a fusion barrier
+    # around every dropout, costing ~6 ms per conformer block in the
+    # backward (measured 16.4 -> 10.2 ms/block, scripts/rng_bench.py).
+    # The epoch-loop key (and the checkpointable RNG state) stays
+    # threefry; only the per-step dropout key is re-wrapped.
+    dropout_rng: str = "rbg"  # 'rbg' | 'threefry'
 
 
 @dataclass(frozen=True)

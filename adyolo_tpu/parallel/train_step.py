@@ -130,9 +130,17 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
     blocks = (4, d_iv) if (d_iv := cfg.data.nb_feature_channels - 4) else (4,)
     aug = cfg.aug
 
+    dropout_rng = cfg.train.dropout_rng
+
     def step_fn(state: TrainState, batch: Dict, key,
                 scaler) -> Tuple[TrainState, jax.Array]:
         k_aug, k_drop = jax.random.split(key)
+        if dropout_rng == "rbg":
+            # hardware-RNG dropout bits (see config.TrainConfig.dropout_rng)
+            data = (k_drop if k_drop.dtype == jnp.uint32
+                    else jax.random.key_data(k_drop))
+            k_drop = jax.random.wrap_key_data(
+                jnp.tile(data.reshape(-1), 2)[:4], impl="rbg")
         audio = batch["audio"]
         if audio.dtype == jnp.int16:
             # fused normalization (src/datasets.py:147): int16 wire format
