@@ -31,6 +31,7 @@ __all__ = [
     "pool_mask",
     "BatchNorm",
     "Conv3x3",
+    "U8Dropout",
     "SELayer",
     "SEBasicBlock",
     "SelfAttentionPooling",
@@ -120,6 +121,37 @@ class BatchNorm(nn.Module):
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * mul
         return x * mul.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class U8Dropout(nn.Module):
+    """Bernoulli dropout driven by uint8 random bits.
+
+    Semantically the same regularizer as ``nn.Dropout`` (the torch reference
+    uses ``nn.Dropout`` throughout, e.g. resnet_conformer.py:49,206-208), but
+    the mask comes from a uint8 threshold compare instead of an f32 uniform:
+    4x less RNG HBM traffic and a compare+select that XLA fuses into the
+    surrounding elementwise chain.  Measured on the (32,4,800,800) attention
+    probs at B=32,T=800: fwd 2.23 -> 0.66 ms, grad 6.20 -> 4.48 ms vs flax
+    ``nn.Dropout`` (scripts/mhsa_bench.py) — *faster than no dropout at all*
+    because the fused u8 path avoids materializing f32 intermediates.
+
+    The drop rate is quantized to ``round(rate*256)/256`` (0.2 -> 51/256 =
+    0.19922); the keep-scale uses the quantized rate so E[output] == input
+    exactly.
+    """
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        thresh = int(round(self.rate * 256.0))
+        if self.deterministic or thresh <= 0:
+            return x
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        scale = jnp.asarray(256.0 / (256.0 - thresh), x.dtype)
+        return jnp.where(bits >= jnp.uint8(thresh), x * scale,
+                         jnp.zeros((), x.dtype))
 
 
 def apply_frame_mask(x: jax.Array, frame_mask: Optional[jax.Array]) -> jax.Array:
@@ -323,5 +355,5 @@ class BiGRU(nn.Module):
             bwd = reverse_sequence(bwd, lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if layer < self.num_layers - 1 and self.dropout > 0:
-                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+                x = U8Dropout(self.dropout, deterministic=not train)(x)
         return x

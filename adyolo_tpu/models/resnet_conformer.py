@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import Conv3x3, apply_frame_mask, pool_mask
+from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
 __all__ = ["ResNetConformer"]
 
@@ -90,10 +90,10 @@ class FeedForwardModule(nn.Module):
         x = nn.Dense(self.dim * self.expansion, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = x * jax.nn.sigmoid(x)  # swish
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = U8Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return U8Dropout(self.dropout, deterministic=not train)(x)
 
 
 class MHSA(nn.Module):
@@ -122,7 +122,7 @@ class MHSA(nn.Module):
             neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
             scores = jnp.where(frame_mask[:, None, None, :], scores, neg)
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        attn = U8Dropout(self.dropout, deterministic=not train)(attn)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, D)
         return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
 
@@ -162,7 +162,7 @@ class ConformerConvModule(nn.Module):
         x = _bn(train, "bn2", self.dtype)(x)
         x = x * jax.nn.sigmoid(x)  # swish
         x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = U8Dropout(self.dropout, deterministic=not train)(x)
         return apply_frame_mask(x, frame_mask)
 
 
@@ -181,7 +181,7 @@ class ConformerBlock(nn.Module):
                                         name="ffn1")(x, train)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mhsa_ln")(x)
         h = MHSA(self.dim, dtype=self.dtype, name="mhsa")(h, train, frame_mask)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = U8Dropout(self.dropout, deterministic=not train)(h)
         x = x + 0.5 * h
         x = x + ConformerConvModule(self.dim, self.dilation, dtype=self.dtype,
                                     name="conv")(x, train, frame_mask)

@@ -36,7 +36,7 @@ def main():
 
         def fwd(vs, x):
             out = mod.apply(vs, x, train,
-                            rngs={"dropout": jax.random.PRNGKey(1)},
+                            rngs={"dropout": jax.random.key(1, impl="rbg")},
                             mutable=["batch_stats"])
             return out[0] if isinstance(out, tuple) else out
 
@@ -45,7 +45,7 @@ def main():
 
         def loss(vs, x):
             out = mod.apply(vs, x, train,
-                            rngs={"dropout": jax.random.PRNGKey(1)},
+                            rngs={"dropout": jax.random.key(1, impl="rbg")},
                             mutable=["batch_stats"])
             y = out[0] if isinstance(out, tuple) else out
             return jnp.sum(y.astype(jnp.float32) ** 2)

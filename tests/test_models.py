@@ -113,3 +113,28 @@ def test_batchnorm_updates_in_train_mode():
     before = variables["batch_stats"]["bn1"]["mean"]
     after = mutated["batch_stats"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_u8dropout_semantics():
+    """U8Dropout: eval identity; train drops at the quantized rate with an
+    unbiased keep-scale; zero rate is a no-op; works with rbg keys (the
+    train-step impl, config.TrainConfig.dropout_rng)."""
+    from adyolo_tpu.models.layers import U8Dropout
+
+    x = jnp.ones((512, 513), jnp.float32)
+    # eval / zero-rate: exact identity
+    for mod in (U8Dropout(0.2, deterministic=True), U8Dropout(0.0)):
+        y = mod.apply({}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    for impl in ("threefry2x32", "rbg"):
+        y = np.asarray(U8Dropout(0.2).apply(
+            {}, x, rngs={"dropout": jax.random.key(3, impl=impl)}))
+        kept = y != 0.0
+        # quantized drop rate 51/256 = 0.19922 (binomial std ~0.0008)
+        drop_frac = 1.0 - kept.mean()
+        assert abs(drop_frac - 51 / 256) < 0.005, (impl, drop_frac)
+        # surviving values scaled by exactly 256/205
+        np.testing.assert_allclose(y[kept], 256.0 / 205.0, rtol=1e-6)
+        # unbiased in expectation
+        assert abs(y.mean() - 1.0) < 0.01, (impl, y.mean())
