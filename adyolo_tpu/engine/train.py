@@ -119,20 +119,33 @@ def _broadcast_str(s: str, width: int = 128) -> str:  # pragma: no cover
     return bytes(out).rstrip(b"\x00").decode("utf-8", errors="replace")
 
 
+DRAIN_EVERY = int(os.environ.get("ADYOLO_DRAIN_EVERY", "2"))
+
+
 def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
                     guard=None):
     """Hot loop (train.py:40-62): place sharded batch -> fused step.
 
-    Loss scalars stay on device until the epoch ends — a per-batch
+    Loss scalars stay on device between drains — a per-batch
     ``float(loss)`` host round-trip defeats dispatch pipelining (the host
     would wait out every step instead of queueing the next one while the
-    device works)."""
+    device works).  A bounded drain every ``DRAIN_EVERY`` batches caps
+    the number of in-flight host->device transfers: the axon-tunneled
+    runtime wedges its client with INVALID_ARGUMENT backend errors when
+    many 60+ MB transfers are queued (measured: a fully unsynchronized
+    20-iter epoch dies ~40% of the time; drain cadence bisected in
+    scripts/epoch_walltime.py), and a deeper dispatch window buys no
+    extra overlap once one batch of transfer is already hidden behind a
+    step.  The drain is a scalar fetch, not ``block_until_ready`` (which
+    returns early through the PJRT tunnel)."""
     losses = []
     for i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
         batch = place_batch(batch)
         state, loss = train_step(state, batch, sub)
         losses.append(loss)
+        if (i + 1) % DRAIN_EVERY == 0:
+            float(loss)
         if quick_test and i == 4:
             break
         if guard is not None and guard.should_stop():
