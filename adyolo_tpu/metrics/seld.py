@@ -292,7 +292,9 @@ class SegmentScorer:
             gt = read_label_csv(os.path.join(ref_dir, fname))
             if not self.use_polar:
                 gt = polar_to_cartesian_dict(gt)
-            nb_ref_frames = max(gt.keys())
+            # an all-silent reference CSV has no rows; the reference scorer
+            # crashes here (max of an empty dict) — treat it as 0 frames
+            nb_ref_frames = max(gt.keys()) if gt else 0
             if overlap is not None:
                 keep_frames = []
                 filtered = {}

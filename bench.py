@@ -14,16 +14,25 @@ Default output (one JSON line each, emitted as soon as measured):
   3. MIC-array GCC-PHAT inference path
   4. multi-format eval forward (accdoa vs adyolo heads)
 
-Fault tolerance: each config runs under a retry wrapper (transient TPU
-backend errors — e.g. the FAILED_PRECONDITION host-fetch failure that
-erased the round-2 driver artifact — get 3 attempts with backoff and a
-fresh warmup).  A config that still fails is recorded in a final
+Fault tolerance (two levels):
+  * in-process: each config runs under a retry wrapper (3 attempts,
+    backoff, fresh warmup) for transient measurement errors;
+  * process isolation (default mode): every config runs in its own
+    subprocess (``--config NAME`` worker), because a backend error that
+    wedges the PJRT client — e.g. the FAILED_PRECONDITION host fetch
+    that erased the round-2 driver artifact, or the INVALID_ARGUMENT
+    storms the axon tunnel produces — kills every later device op in
+    that process; a fresh process is the only retry that works.  The
+    orchestrator never imports jax (the chip is single-tenant).
+A config that still fails is recorded in a final
 ``{"metric": "bench-errors", ...}`` line; every config that succeeds is
-emitted regardless, and the process exits 0.
+emitted regardless, and the process exits 0.  ``--inprocess`` restores
+the legacy single-process mode.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -52,6 +61,12 @@ def _emit(metric, value, unit, vs_baseline=None, flops=None, dt=None):
 
 
 _ERRORS = []
+_ONLY = None  # --config NAME: run a single config (subprocess worker mode)
+
+DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
+                   "train-conformer-bf16")
+ALL_CONFIGS = DEFAULT_CONFIGS + ("infer-latency", "scaler-pass", "mic-gcc",
+                                 "eval-fwd-accdoa", "eval-fwd-adyolo")
 
 
 def _run_config(name, fn, attempts=3):
@@ -59,7 +74,14 @@ def _run_config(name, fn, attempts=3):
 
     A transient backend error mid-measurement leaves the device queue in
     an unknown state; each retry re-enters ``fn`` from scratch, which
-    re-warms (``benchmark`` always warms up before tracing)."""
+    re-warms (``benchmark`` always warms up before tracing).  NOTE: a
+    backend error that wedges the PJRT client (e.g. the INVALID_ARGUMENT
+    storms the axon tunnel produces under deep transfer queues) makes
+    every subsequent device op fail in this process — the in-process
+    retry handles transient measurement errors only; process-level
+    isolation lives in ``_orchestrate`` below."""
+    if _ONLY is not None and name != _ONLY:
+        return False
     for attempt in range(attempts):
         try:
             fn()
@@ -92,7 +114,8 @@ def main() -> None:
     from adyolo_tpu.models.wrapper import build_model
     from adyolo_tpu.utils.profiling import compiled_flops
 
-    run_all = "--all" in sys.argv
+    run_all = "--all" in sys.argv or (
+        _ONLY is not None and _ONLY not in DEFAULT_CONFIGS)
 
     cfg = Config()
     frontend = make_frontend(cfg)
@@ -247,20 +270,86 @@ def main() -> None:
             _run_config(f"eval-fwd-{loss_nm}",
                         lambda ln=loss_nm: bench_eval_forward(ln))
 
-    if _ERRORS:
+    if _ERRORS and _ONLY is None:
+        # worker mode (--config) reports failure via exit code instead;
+        # the orchestrator owns error emission there
         print(json.dumps({"metric": "bench-errors", "value": len(_ERRORS),
                           "unit": "failed_configs", "errors": _ERRORS}),
               flush=True)
 
 
-if __name__ == "__main__":
-    try:
-        main()
-    except Exception as exc:  # noqa: BLE001 — emit, don't traceback-and-die
-        print(json.dumps({"metric": "bench-errors", "value": 1,
-                          "unit": "failed_configs",
-                          "errors": [{"config": "setup",
-                                      "error": f"{type(exc).__name__}: {exc}"[:500]}]}),
+def _orchestrate() -> None:
+    """Default mode: run every config in its own subprocess.
+
+    Process isolation is the only retry that survives a wedged PJRT
+    client (a backend error inside one config kills every later device
+    op in that process — learned the hard way when BENCH_r02 died on one
+    transient host fetch).  The orchestrator itself never imports jax:
+    the axon chip is single-tenant and a jax-touching parent would block
+    its children forever.  Each config gets ``attempts`` fresh processes;
+    every JSON line a worker prints is forwarded, so one dead config
+    never erases the others."""
+    import subprocess
+
+    run_all = "--all" in sys.argv
+    names = ALL_CONFIGS if run_all else DEFAULT_CONFIGS
+    errors = []
+    for name in names:
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--config", name],
+                    capture_output=True, text=True, timeout=2400)
+            except subprocess.TimeoutExpired:
+                err = "timeout after 2400 s"
+                sys.stderr.write(f"[bench] {name}: {err}\n")
+                if attempt == 1:
+                    errors.append({"config": name, "error": err})
+                continue
+            out = proc.stdout.strip()
+            if out:
+                print(out, flush=True)
+            sys.stderr.write(proc.stderr[-2000:])
+            if proc.returncode == 0 and out:
+                break
+            err = (f"rc={proc.returncode}, last stderr: "
+                   + proc.stderr.strip().splitlines()[-1][:300]
+                   if proc.stderr.strip() else f"rc={proc.returncode}")
+            sys.stderr.write(
+                f"[bench] {name}: attempt {attempt + 1}/2 failed ({err})\n")
+            if attempt == 1:
+                errors.append({"config": name, "error": err[:500]})
+            else:
+                time.sleep(3.0)
+    if errors:
+        print(json.dumps({"metric": "bench-errors", "value": len(errors),
+                          "unit": "failed_configs", "errors": errors}),
               flush=True)
-        sys.stderr.write(traceback.format_exc())
+
+
+if __name__ == "__main__":
+    if "--config" in sys.argv:
+        _ONLY = sys.argv[sys.argv.index("--config") + 1]
+        try:
+            main()
+        except Exception as exc:  # noqa: BLE001
+            sys.stderr.write(traceback.format_exc())
+            _ERRORS.append({"config": _ONLY,
+                            "error": f"{type(exc).__name__}: {exc}"[:500]})
+        sys.exit(1 if _ERRORS else 0)
+    if "--inprocess" in sys.argv:
+        # legacy single-process mode (useful when process spawn is
+        # restricted); in-process retry only
+        try:
+            main()
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"metric": "bench-errors", "value": 1,
+                              "unit": "failed_configs",
+                              "errors": [{"config": "setup",
+                                          "error": f"{type(exc).__name__}: {exc}"[:500]}]}),
+                  flush=True)
+            sys.stderr.write(traceback.format_exc())
+        sys.exit(0)
+    _orchestrate()
     sys.exit(0)

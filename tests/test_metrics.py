@@ -166,3 +166,22 @@ def test_perfect_prediction_scores():
         ER, F, LE, LR, SELD, _ = SegmentScorer(gt_dir, nb_classes=K).get_SELD_Results(pred_dir)
         assert ER < 1e-9 and abs(F - 1) < 1e-9 and LE < 1e-6 and abs(LR - 1) < 1e-9
         assert SELD < 1e-7
+
+
+def test_empty_reference_csv(tmp_path):
+    """An all-silent reference clip (no CSV rows) must not crash the scorer
+    (the reference's ComputeSELDResults does: max() over an empty dict —
+    metrics/seld.py deviates deliberately, treating it as 0 frames)."""
+    from adyolo_tpu.data.io import write_label_csv, write_seld_output_csv
+
+    gt_dir = tmp_path / "gt"; gt_dir.mkdir()
+    pred_dir = tmp_path / "pred"; pred_dir.mkdir()
+    K = 13
+    write_label_csv(str(gt_dir / "clip0.csv"), {})  # silent clip
+    write_label_csv(str(gt_dir / "clip1.csv"),
+                    {3: [[1, 0, 10.0, 5.0]], 4: [[1, 0, 12.0, 6.0]]})
+    for name in ("clip0", "clip1"):
+        write_seld_output_csv(str(pred_dir / f"{name}.csv"),
+                              {5: [[2, 1.0, 0.0, 0.0]]})
+    res = SegmentScorer(str(gt_dir), nb_classes=K).get_SELD_Results(str(pred_dir))
+    assert np.isfinite(res[0])  # ER computed, no crash
