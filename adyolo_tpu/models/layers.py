@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.packed_conv import best_pack, conv3x3_fullpack, conv3x3_packed
+from ..ops.packed_conv import (best_pack, conv3x3_fullpack, conv3x3_packed,
+                               pack_weights, pack_weights_1x1)
 
 __all__ = [
     "apply_frame_mask",
@@ -51,9 +52,29 @@ class Conv3x3(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Any = jnp.float32
+    # pack=None: decide locally and reshape in/out per conv (default).
+    # pack>=1: the input is ALREADY in packed-resident layout
+    # (B, T, F/pack, pack*Cin) and the output stays packed — no reshapes
+    # (see SEBasicBlock's packed-resident stages).
+    pack: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.pack is not None:
+            cin = x.shape[-1] // self.pack
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (3, 3, cin, self.features))
+            w = kernel.astype(self.dtype)
+            if self.pack > 1:
+                w = pack_weights(w, self.pack)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                y = y + jnp.tile(bias.astype(self.dtype), self.pack)
+            return y
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
@@ -96,8 +117,13 @@ class BatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        C = x.shape[-1]
+    def __call__(self, x, use_running_average: bool, pack: int = 1):
+        """``pack > 1``: x is packed-resident (B, T, F/pack, pack*C) — the
+        pack copies of each channel cover disjoint frequency columns with
+        equal element counts, so the true per-channel moments are exactly
+        the means of the per-copy moments (stats/params stay (C,), tiled
+        back to pack*C only for the elementwise apply)."""
+        C = x.shape[-1] // pack
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -113,6 +139,9 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=axes)
             mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            if pack > 1:
+                mean = mean.reshape(pack, C).mean(axis=0)
+                mean2 = mean2.reshape(pack, C).mean(axis=0)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -120,7 +149,10 @@ class BatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * mul
-        return x * mul.astype(x.dtype) + shift.astype(x.dtype)
+        mul, shift = mul.astype(x.dtype), shift.astype(x.dtype)
+        if pack > 1:
+            mul, shift = jnp.tile(mul, pack), jnp.tile(shift, pack)
+        return x * mul + shift
 
 
 class U8Dropout(nn.Module):
@@ -181,17 +213,25 @@ class SELayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, frame_mask=None):
-        B, T, F, C = x.shape
+    def __call__(self, x, frame_mask=None, pack: int = 1):
+        """``pack > 1``: x is packed-resident (B, T, F/pack, pack*C); the
+        squeeze combines the pack copies (equal counts => mean of means is
+        the exact global mean) and the excitation gate is tiled back."""
+        B, T, F, PC = x.shape
+        C = PC // pack
         if frame_mask is None:
-            y = jnp.mean(x, axis=(1, 2))  # (B, C)
+            y = jnp.mean(x, axis=(1, 2))  # (B, pack*C)
         else:
             m = frame_mask[:, :, None, None].astype(x.dtype)
             y = (x * m).sum(axis=(1, 2)) / (m.sum(axis=(1, 2)) * F + 1e-12)
+        if pack > 1:
+            y = y.reshape(B, pack, C).mean(axis=1)
         y = nn.Dense(C // self.reduction, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Dense(C, dtype=self.dtype)(y)
         y = jax.nn.sigmoid(y)
+        if pack > 1:
+            y = jnp.tile(y, (1, pack))
         return x * y[:, None, None, :]
 
 
@@ -208,10 +248,16 @@ class SEBasicBlock(nn.Module):
     pool: Optional[Tuple[int, int]] = None
     reduction: int = 8
     dtype: Any = jnp.float32
+    # pack > 1: packed-resident stage mode — x arrives AND leaves as
+    # (B, T, F/pack, pack*C); every op in the block runs in that layout
+    # (exact math, see ops/packed_conv.py), so the per-conv pack/unpack
+    # relayouts disappear.  The pool must be handled by the caller then.
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
         if self.pool is not None:
+            assert self.pack == 1, "pool is handled outside packed stages"
             # nn.avg_pool (reduce_window) measured FASTER in-program than a
             # reshape+mean formulation (105.4 vs 112.7 ms/step at B=32 bf16
             # on v5e — the reshape broke XLA fusions around the pool), so
@@ -220,28 +266,59 @@ class SEBasicBlock(nn.Module):
             frame_mask = pool_mask(frame_mask, self.pool[0])
             x = apply_frame_mask(x, frame_mask)
         residual = x
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.pack
+        conv_pack = self.pack if self.pack > 1 else None
 
-        out = Conv3x3(self.planes, use_bias=False,
+        out = Conv3x3(self.planes, use_bias=False, pack=conv_pack,
                       dtype=self.dtype, name="conv1")(x)
         out = nn.relu(out)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train,
+                                                      pack=self.pack)
         out = apply_frame_mask(out, frame_mask)
 
-        out = Conv3x3(self.planes, use_bias=False,
+        out = Conv3x3(self.planes, use_bias=False, pack=conv_pack,
                       dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train)
+        out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train,
+                                                      pack=self.pack)
         out = apply_frame_mask(out, frame_mask)
-        out = SELayer(self.reduction, dtype=self.dtype, name="se")(out, frame_mask)
+        out = SELayer(self.reduction, dtype=self.dtype, name="se")(
+            out, frame_mask, pack=self.pack)
 
         if in_ch != self.planes:
-            residual = nn.Conv(self.planes, (1, 1), use_bias=False,
-                               dtype=self.dtype, name="down_conv")(residual)
-            residual = BatchNorm(dtype=self.dtype, name="down_bn")(residual, not train)
+            if self.pack > 1:
+                residual = _PackedConv1x1(self.planes, self.pack,
+                                          dtype=self.dtype,
+                                          name="down_conv")(residual)
+            else:
+                residual = nn.Conv(self.planes, (1, 1), use_bias=False,
+                                   dtype=self.dtype, name="down_conv")(residual)
+            residual = BatchNorm(dtype=self.dtype, name="down_bn")(
+                residual, not train, pack=self.pack)
             residual = apply_frame_mask(residual, frame_mask)
 
         out = nn.relu(out + residual)
         return apply_frame_mask(out, frame_mask), frame_mask
+
+
+class _PackedConv1x1(nn.Module):
+    """1x1 conv on packed-resident input (block-diagonal packed weights).
+    Param layout identical to ``nn.Conv(features, (1, 1), use_bias=False)``
+    — 'kernel' (1, 1, Cin, Cout), lecun_normal — so checkpoints and golden
+    tests see the same tree whether the stage runs packed or not."""
+
+    features: int
+    pack: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // self.pack
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features))
+        w = pack_weights_1x1(kernel.astype(self.dtype), self.pack)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class SelfAttentionPooling(nn.Module):

