@@ -66,7 +66,14 @@ def test_dp_mesh_step_matches_single_device():
     # second-step loss goes through one full Adam update, so a systematic
     # sharding error (wrong all-reduce, shard-dropped grads) would diverge
     assert abs(l0_s - l0_d) < 1e-4, (l0_s, l0_d)
-    assert abs(l1_s - l1_d) < 1e-3, (l1_s, l1_d)
+    # after one Adam update: rsqrt amplifies f32 reduction-order noise on
+    # near-zero-gradient params to O(lr)-scale param shifts, so the step-1
+    # loss carries a few-e-3 wobble, not 1e-4 (the 2-process multihost
+    # smoke measured 1e-3 at step 1 even with identical per-conv layouts;
+    # packed-resident BN's copy-combined moments shift the order again,
+    # measured 2.2e-3 here).  Systematic sharding errors (dropped shards,
+    # missing all-reduce) diverge by orders of magnitude instead.
+    assert abs(l1_s - l1_d) < 5e-3, (l1_s, l1_d)
     # Adam's rsqrt amplifies f32 reduction-order noise to O(lr) on
     # near-zero-gradient params, so compare params at a few-x-lr tolerance
     flat_s = jax.tree_util.tree_leaves(state_single.params)
