@@ -302,11 +302,15 @@ def _orchestrate() -> None:
                      "--config", name],
                     capture_output=True, text=True, timeout=2400)
             except subprocess.TimeoutExpired:
-                err = "timeout after 2400 s"
+                # a 40-min hang is the chip-lease wedge (a killed axon
+                # client leaves the remote grant held and every new
+                # process blocks inside jax.devices()), not a transient —
+                # retrying doubles the loss, so move on to give later
+                # configs a chance at a recovered chip
+                err = "timeout after 2400 s (chip-lease wedge?)"
                 sys.stderr.write(f"[bench] {name}: {err}\n")
-                if attempt == 1:
-                    errors.append({"config": name, "error": err})
-                continue
+                errors.append({"config": name, "error": err})
+                break
             out = proc.stdout.strip()
             if out:
                 print(out, flush=True)
