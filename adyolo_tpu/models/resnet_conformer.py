@@ -23,15 +23,43 @@ Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.packed_conv import conv_time_packed
 from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
 __all__ = ["ResNetConformer"]
+
+
+class TimePackedConv(nn.Module):
+    """Drop-in for ``nn.Conv(features, (kt, kf), strides=(1, f_stride),
+    padding=(kt//2, kf//2), use_bias=False)`` that folds the time axis into
+    channels when the output channel count underfills the 128 MXU lanes
+    (ops/packed_conv.py conv_time_packed; exactly equivalent math).  Param
+    layout and init match nn.Conv ('kernel' (kt, kf, Cin, Cout),
+    lecun_normal), so checkpoints and golden tests are unaffected."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    f_stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kf = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kt, kf, x.shape[-1], self.features))
+        pack = 1
+        for p in (4, 2):
+            if self.features * p <= 128 and x.shape[1] % p == 0:
+                pack = p
+                break
+        return conv_time_packed(x.astype(self.dtype), w.astype(self.dtype),
+                                pack, self.f_stride)
 
 
 def _bn(train, name, dtype=jnp.float32):
@@ -46,6 +74,7 @@ class TVBasicBlock(nn.Module):
 
     planes: int
     f_stride: int = 1
+    time_pack: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,10 +82,15 @@ class TVBasicBlock(nn.Module):
         residual = x
         stride = (1, self.f_stride)
         # stride-1 3x3 convs go through the frequency-packed path (exact
-        # math; the 64-channel blocks underfill the MXU otherwise)
+        # math; the 64-channel blocks underfill the MXU otherwise);
+        # freq-strided convs can't freq-pack but their stride-1 time axis
+        # packs the same way (only fires for the 64-channel layer-1 entry)
         if self.f_stride == 1:
             out = Conv3x3(self.planes, use_bias=False, dtype=self.dtype,
                           name="conv1")(x)
+        elif self.time_pack:
+            out = TimePackedConv(self.planes, (3, 3), f_stride=self.f_stride,
+                                 dtype=self.dtype, name="conv1")(x)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=stride, padding=1,
                           use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -194,6 +228,9 @@ class ResNetConformer(nn.Module):
     emb_dim: int = 256
     num_layers: int = 8
     time_pool: int = 4
+    # time-pack the underfilled freq-strided convs (stem 7x7 Cin=7->64 and
+    # the layer-1 entry conv); exact math, flip off if a TPU bench regresses
+    time_pack: bool = True
     dtype: Any = jnp.float32  # compute dtype for the resnet stages AND the
     # conformer blocks (attention softmax stays f32 inside MHSA)
 
@@ -207,8 +244,12 @@ class ResNetConformer(nn.Module):
 
         # stem (resnet_conformer.py:347-350, 423-426): conv->ReLU->BN->maxpool
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(1, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        if self.time_pack:
+            x = TimePackedConv(64, (7, 7), f_stride=2, dtype=self.dtype,
+                               name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(1, 2), padding=3, use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = _bn(train, "bn1", self.dtype)(x)
         if frame_mask is not None:
@@ -224,7 +265,7 @@ class ResNetConformer(nn.Module):
                 zip((3, 4, 5, 3), (64, 128, 256, 512))):
             for b in range(n_blocks):
                 x = TVBasicBlock(planes, f_stride=2 if b == 0 else 1,
-                                 dtype=self.dtype,
+                                 time_pack=self.time_pack, dtype=self.dtype,
                                  name=f"layer{stage + 1}_block{b}")(
                     x, train, frame_mask)
         # (B, T, F=1, 512) -> (B, T, 512)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 __all__ = ["best_pack", "pack_weights", "conv3x3_packed",
            "pack_weights_full", "conv3x3_fullpack",
-           "pack_weights_1x1", "pack_x", "unpack_x"]
+           "pack_weights_1x1", "pack_x", "unpack_x",
+           "pack_weights_time", "conv_time_packed"]
 
 
 def pack_x(x: jax.Array, pack: int) -> jax.Array:
@@ -126,6 +127,69 @@ def pack_weights_full(w: jax.Array, f_dim: int) -> jax.Array:
                 w31 = w31.at[:, 0, pi * cin : (pi + 1) * cin,
                              po * cout : (po + 1) * cout].set(w[:, dv])
     return w31
+
+
+def pack_weights_time(w: jax.Array, pack: int):
+    """(KT, KF, Cin, Cout) -> ((KTg, KF, pack*Cin, pack*Cout), (pad_lo, pad_hi))
+    TIME-packed block-sparse weights for a stride-1, symmetrically padded
+    (pad_t = (KT-1)//2, i.e. torch ``padding=KT//2``) time axis.
+
+    Same construction as :func:`pack_weights` but on the time axis and for
+    arbitrary odd kernel size: with outputs grouped as t_out = g*pack + po
+    and inputs as t_in = gi*pack + pi, the original tap ``dt`` lands at
+    group offset ``dgi`` iff ``dt = dgi*pack + pi - po + pad_t`` is a valid
+    kernel index.  Taps past the time edge multiply explicit zero padding
+    (returned as (pad_lo, pad_hi) on the group axis), exactly like the
+    zeros SAME padding feeds the plain conv — the math is identical."""
+    kt, kf, cin, cout = w.shape
+    pad_t = (kt - 1) // 2
+    lo = -((pad_t + pack - 1) // pack)
+    hi = (kt - 1 - pad_t + pack - 1) // pack
+    w3 = jnp.zeros((hi - lo + 1, kf, pack * cin, pack * cout), w.dtype)
+    for dgi in range(lo, hi + 1):
+        for pi in range(pack):
+            for po in range(pack):
+                dt = dgi * pack + pi - po + pad_t
+                if 0 <= dt < kt:
+                    w3 = w3.at[dgi - lo, :, pi * cin : (pi + 1) * cin,
+                               po * cout : (po + 1) * cout].set(w[dt])
+    return w3, (-lo, hi)
+
+
+def conv_time_packed(x: jax.Array, w: jax.Array, pack: int,
+                     f_stride: int = 1) -> jax.Array:
+    """Symmetrically padded, stride-``(1, f_stride)`` NHWC conv with the
+    TIME axis folded into channels.
+
+    For the freq-only-strided conformer stem (reference
+    ``src/models/backbones/resnet_conformer.py:347-394``): its strided
+    convs can't frequency-pack (the stride crosses pack boundaries) but
+    their time axis is stride-1 and always even — packing it fills the
+    128 MXU output lanes for the Cout<=64 convs (stem 7x7 Cin=7->64,
+    layer-1 entry 3x3 64->64) exactly like :func:`conv3x3_packed` does
+    for SE-ResNet stage 1.
+
+    x: (B, T, F, Cin) with T % pack == 0; w: (KT, KF, Cin, Cout), KT odd.
+    Unlike frequency packing the (de)grouping is a transpose, not a free
+    reshape — cheap relative to the conv, but measure before adopting.
+    """
+    B, T, F, C = x.shape
+    kt, kf, _, K = w.shape
+    pad_f = (kf - 1) // 2
+    if pack == 1:
+        return jax.lax.conv_general_dilated(
+            x, w, (1, f_stride), ((kt // 2, kt // 2), (pad_f, pad_f)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    G = T // pack
+    x4 = x.reshape(B, G, pack, F, C).transpose(0, 1, 3, 2, 4)
+    x4 = x4.reshape(B, G, F, pack * C)
+    w3, (pl, ph) = pack_weights_time(w, pack)
+    y4 = jax.lax.conv_general_dilated(
+        x4, w3, (1, f_stride), ((pl, ph), (pad_f, pad_f)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Fo = y4.shape[2]
+    y = y4.reshape(B, G, Fo, pack, K).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, T, Fo, K)
 
 
 def conv3x3_fullpack(x: jax.Array, w: jax.Array) -> jax.Array:

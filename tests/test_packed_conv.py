@@ -125,6 +125,76 @@ def test_packed_resident_stages_match_per_conv_packing():
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=1e-5)
 
 
+def test_time_packed_conv_matches_plain():
+    """Time-axis packing for the conformer's freq-strided convs: exact
+    equivalence with the plain symmetrically padded stride-(1, s) conv,
+    across the stem 7x7 (Cin=7->64), the layer-1 entry 3x3 (64->64),
+    pack in {2, 4}, and both forward and gradients."""
+    from adyolo_tpu.ops.packed_conv import conv_time_packed
+
+    def ref(x, w, s):
+        kt, kf = w.shape[0], w.shape[1]
+        return jax.lax.conv_general_dilated(
+            x, w, (1, s), ((kt // 2, kt // 2), (kf // 2, kf // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for (T, F, cin, cout, kt, kf, s, pack) in [
+            (16, 16, 7, 64, 7, 7, 2, 2),    # conformer stem shape (scaled T/F)
+            (16, 16, 64, 64, 3, 3, 2, 2),   # layer-1 entry conv
+            (16, 8, 7, 32, 7, 7, 2, 4),     # deeper packing
+            (12, 8, 5, 16, 3, 3, 1, 2),     # stride-1 freq
+            (16, 9, 6, 16, 5, 3, 3, 4)]:    # odd F, uneven stride
+        x = jnp.asarray(rng.standard_normal((2, T, F, cin)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((kt, kf, cin, cout)) * 0.1)
+                        .astype(np.float32))
+        got = conv_time_packed(x, w, pack, f_stride=s)
+        want = ref(x, w, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"{(T, F, cin, cout, kt, kf, s, pack)}")
+
+    # gradients (stem shape)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 7)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((7, 7, 7, 24)) * 0.1)
+                    .astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 16, 8, 24)).astype(np.float32))
+    dxp, dwp = jax.grad(
+        lambda x, w: jnp.sum(conv_time_packed(x, w, 2, f_stride=2) * g),
+        (0, 1))(x, w)
+    dxr, dwr = jax.grad(
+        lambda x, w: jnp.sum(ref(x, w, 2) * g), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwr), atol=1e-4)
+
+
+def test_conformer_time_pack_flag_equivalence():
+    """ResNetConformer(time_pack=True) — the default — must have the same
+    param tree and outputs as the plain-conv model (eval + masked eval)."""
+    from adyolo_tpu.models.resnet_conformer import ResNetConformer
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 7)).astype(np.float32))
+    lens = jnp.array([16, 12])
+    mp = ResNetConformer(num_layers=1, time_pool=2, time_pack=True)
+    mu = ResNetConformer(num_layers=1, time_pool=2, time_pack=False)
+    init_rngs = {"params": jax.random.PRNGKey(1),
+                 "dropout": jax.random.PRNGKey(2)}
+    vp = mp.init(init_rngs, x, True)
+    vu = mu.init(init_rngs, x, True)
+    flat_p = jax.tree_util.tree_leaves_with_path(vp["params"])
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(vu["params"]))
+    assert len(flat_p) == len(flat_u)
+    for path, leaf in flat_p:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_u[path]),
+                                      err_msg=str(path))
+    yp = mp.apply(vu, x, False)
+    yu = mu.apply(vu, x, False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=2e-5)
+    yp = mp.apply(vu, x, False, feat_lengths=lens)
+    yu = mu.apply(vu, x, False, feat_lengths=lens)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=2e-5)
+
+
 def test_pack_weights_1x1_blockdiag():
     from adyolo_tpu.ops.packed_conv import pack_weights_1x1
 
