@@ -291,10 +291,28 @@ def _orchestrate() -> None:
     never erases the others."""
     import subprocess
 
+    def chip_alive(timeout=180):
+        """Cheap wedge probe: can a fresh process see the chip at all?
+        (During the lease wedge every new process blocks silently inside
+        jax.devices(); a claim-queue waiter holds no grant, so killing
+        the probe is safe.)"""
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=timeout)
+            return p.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     run_all = "--all" in sys.argv
     names = ALL_CONFIGS if run_all else DEFAULT_CONFIGS
     errors = []
+    wedged = False
     for name in names:
+        if wedged:
+            errors.append({"config": name,
+                           "error": "skipped: chip-lease wedge in effect"})
+            continue
         for attempt in range(2):
             try:
                 proc = subprocess.run(
@@ -305,11 +323,18 @@ def _orchestrate() -> None:
                 # a 40-min hang is the chip-lease wedge (a killed axon
                 # client leaves the remote grant held and every new
                 # process blocks inside jax.devices()), not a transient —
-                # retrying doubles the loss, so move on to give later
-                # configs a chance at a recovered chip
+                # retrying doubles the loss.  Probe once: if even
+                # jax.devices() hangs, skip the remaining configs rather
+                # than burning 40 min on each; otherwise move on to give
+                # later configs a chance.
                 err = "timeout after 2400 s (chip-lease wedge?)"
                 sys.stderr.write(f"[bench] {name}: {err}\n")
                 errors.append({"config": name, "error": err})
+                if not chip_alive():
+                    sys.stderr.write(
+                        "[bench] wedge probe: jax.devices() hangs — "
+                        "skipping remaining configs\n")
+                    wedged = True
                 break
             out = proc.stdout.strip()
             if out:
