@@ -125,7 +125,8 @@ class TrainConfig:
     nb_epochs: int = 200
     nb_iters: int = 500
     batch_size: int = 16
-    num_workers: int = 1  # host-side prefetch threads (0 = synchronous)
+    num_workers: int = 1  # 0 = synchronous; 1 = prefetch thread; >1 adds a
+    # per-clip load/encode thread pool (bit-identical batches)
     prefetch_factor: int = 2
 
     optim: str = "Adam"

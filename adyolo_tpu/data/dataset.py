@@ -162,7 +162,7 @@ class SELDDataset:
     def get_filelist(self) -> List[str]:
         return self.filelist
 
-    def load_clip(self, name: str, normalize: bool = True):
+    def load_clip(self, name: str, normalize: bool = True, rot_comb=None):
         """Returns (audio (N, C), label_dict, nb_label_frames).
 
         ``normalize=False`` keeps int16 samples so the train pipeline can
@@ -170,13 +170,15 @@ class SELDDataset:
         normalization (src/datasets.py:147) into the feature kernel —
         numerically identical because rotation only flips signs/swaps
         channels before normalization, exactly like the reference order.
+        ``rot_comb``: pre-drawn rotation index (see RotationAug.draw) so
+        parallel loaders don't race on the checkpointable host RNG.
         """
         audio = io.read_wav(os.path.join(self.wav_pth, name + ".wav"))
         if self.is_infer:
             label: io.LabelDict = {}
         else:
             label = io.read_label_csv(os.path.join(self.csv_pth, name + ".csv"))
-        audio, label = self.rotation(audio, label)
+        audio, label = self.rotation(audio, label, comb_no=rot_comb)
         if normalize or audio.dtype != np.int16:
             audio = io.normalize_audio(audio)
         nb_label_frames = len(audio) // self.cfg.data.label_hop_len
@@ -195,14 +197,30 @@ class SELDDataset:
         raise NotImplementedError(self.loss_nm)
 
 
-def _assemble_batch(dataset: SELDDataset, names: Sequence[str], max_targets: int):
+def _assemble_batch(dataset: SELDDataset, names: Sequence[str], max_targets: int,
+                    pool=None):
     """Stack a fixed-length training batch (audio stays int16 when the
-    source wavs are int16; the train step normalizes on device)."""
-    audios, labels = [], []
-    for name in names:
-        audio, label, nb_frames = dataset.load_clip(name, normalize=False)
-        audios.append(audio)
-        labels.append(dataset.encode_label(label, nb_frames))
+    source wavs are int16; the train step normalizes on device).
+
+    ``pool``: optional ThreadPoolExecutor to load/encode clips in parallel
+    (the analog of the reference's ``DataLoader(num_workers=16)``,
+    train.py:125-129).  Rotation indices are pre-drawn sequentially in
+    batch order first, so the host RNG stream — which is captured in
+    checkpoints — is bit-identical to the sequential path."""
+    combs = dataset.rotation.draw(len(names))
+
+    def load_one(args):
+        name, comb = args
+        audio, label, nb_frames = dataset.load_clip(
+            name, normalize=False, rot_comb=comb)
+        return audio, dataset.encode_label(label, nb_frames)
+
+    if pool is None:
+        loaded = [load_one(a) for a in zip(names, combs)]
+    else:
+        loaded = list(pool.map(load_one, zip(names, combs)))
+    audios = [a for a, _ in loaded]
+    labels = [l for _, l in loaded]
     batch = {"audio": np.stack(audios, axis=0)}
     if dataset.loss_nm == "adyolo":
         targets, mask = pad_yolo_targets(labels, max_targets)
@@ -217,7 +235,11 @@ class TrainLoader:
     """Epoch iterator over shuffled fixed-length chunk batches, with an
     optional background prefetch thread (host analog of the reference's
     ``DataLoader(num_workers=16, prefetch_factor=4)``, train.py:125-129 —
-    here the heavy feature work is on-device so one IO thread suffices)."""
+    feature extraction runs on-device here, so the host only decodes wavs,
+    rotates and encodes labels).  ``num_workers > 1`` additionally fans
+    the per-clip load/encode work of each batch across a thread pool —
+    batches are bit-identical to the sequential path (rotation RNG is
+    pre-drawn in order) so resume reproducibility is unaffected."""
 
     def __init__(self, dataset: SELDDataset, cfg: Config,
                  rank: int = 0, num_shards: int = 1):
@@ -233,6 +255,7 @@ class TrainLoader:
         self.batch_size = cfg.train.batch_size // self.num_shards
         self.max_targets = cfg.train.max_targets_per_clip * self.batch_size
         self.prefetch = cfg.train.num_workers > 0
+        self.pool_workers = min(cfg.train.num_workers, self.batch_size)
         self.queue_depth = max(2, cfg.train.prefetch_factor)
 
     def __len__(self) -> int:
@@ -254,6 +277,13 @@ class TrainLoader:
                 yield _assemble_batch(self.dataset, b, self.max_targets)
             return
 
+        pool = None
+        if self.pool_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.pool_workers,
+                                      thread_name_prefix="clip-loader")
+
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.queue_depth)
         stop = object()
         cancelled = threading.Event()
@@ -261,7 +291,8 @@ class TrainLoader:
         def worker():
             try:
                 for b in batches:
-                    item = _assemble_batch(self.dataset, b, self.max_targets)
+                    item = _assemble_batch(self.dataset, b, self.max_targets,
+                                           pool=pool)
                     while not cancelled.is_set():
                         try:
                             q.put(item, timeout=0.5)
@@ -287,6 +318,8 @@ class TrainLoader:
                 yield item
         finally:
             cancelled.set()  # unblock the worker if the consumer quits early
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def bucket_samples(n_samples: int, hop: int, buckets: Sequence[int]) -> int:

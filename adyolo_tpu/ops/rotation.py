@@ -79,6 +79,16 @@ class RotationAug:
     def __init__(self, enabled: bool, is_valid: bool):
         self.active = enabled and not is_valid
 
+    def draw(self, n: int):
+        """Pre-draw ``n`` combination indices in order — consumes the host
+        RNG exactly as ``n`` sequential __call__s would, so a loader can
+        draw up-front and then load clips on parallel workers without
+        changing the checkpointable RNG stream (None when inactive:
+        inactive calls consume no randomness)."""
+        if not self.active:
+            return [None] * n
+        return [int(random.uniform(0, 16)) for _ in range(n)]
+
     def __call__(self, audio: np.ndarray, label: LabelDict, comb_no: Optional[int] = None):
         if not self.active:
             return audio, label

@@ -42,6 +42,39 @@ def synth_root(tmp_path_factory):
     return make_synth_dataset(str(root))
 
 
+def test_parallel_loader_bit_identical(synth_root):
+    """num_workers > 1 fans clip load/encode across a thread pool; batches
+    and the host RNG stream must be bit-identical to the sequential
+    loader (rotation indices are pre-drawn in batch order)."""
+    import dataclasses
+    import random
+
+    from adyolo_tpu.config import Config
+    from adyolo_tpu.data.dataset import SELDDataset, TrainLoader
+
+    def run(num_workers):
+        random.seed(1234)
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, data_pth=synth_root),
+            aug=dataclasses.replace(cfg.aug, rotation_augment=True),
+            train=dataclasses.replace(cfg.train, batch_size=4, nb_iters=2,
+                                      num_workers=num_workers))
+        ds = SELDDataset(cfg, "train")
+        batches = list(TrainLoader(ds, cfg))
+        return batches, random.getstate()
+
+    seq, rng_seq = run(1)
+    par, rng_par = run(4)
+    assert rng_seq == rng_par  # same host RNG consumption
+    assert len(seq) == len(par) == 2
+    for bs, bp in zip(seq, par):
+        assert bs.keys() == bp.keys()
+        for k in bs:
+            np.testing.assert_array_equal(bs[k], bp[k], err_msg=k)
+
+
 def _train_args(root, results_dir, **kw):
     args = {
         "action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
