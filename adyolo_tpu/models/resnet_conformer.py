@@ -23,6 +23,7 @@ Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -229,8 +230,10 @@ class ResNetConformer(nn.Module):
     num_layers: int = 8
     time_pool: int = 4
     # time-pack the underfilled freq-strided convs (stem 7x7 Cin=7->64 and
-    # the layer-1 entry conv); exact math, flip off if a TPU bench regresses
-    time_pack: bool = True
+    # the layer-1 entry conv); exact math, flip off if a TPU bench
+    # regresses.  ADYOLO_TIME_PACK=0 (read at import, for fresh-process
+    # A/B benching) flips the default off.
+    time_pack: bool = os.environ.get("ADYOLO_TIME_PACK", "1") != "0"
     dtype: Any = jnp.float32  # compute dtype for the resnet stages AND the
     # conformer blocks (attention softmax stays f32 inside MHSA)
 

@@ -15,6 +15,7 @@ Input here is channel-last (B, T, F, C); shapes for the DCASE geometry:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -45,11 +46,13 @@ class SEResNet34(nn.Module):
     dtype: Any = jnp.float32  # conv-stack compute dtype (bf16 for training)
     gru_dropout: float = 0.3  # inter-layer GRU dropout (resnet.py:153);
     # overridable so gradient-parity tests can run train-mode deterministically
-    packed_stages: bool = True  # keep activations frequency-packed across
-    # whole stages (pack once at stage entry, unpack at pool boundaries)
-    # instead of per conv — kills the per-conv pack/unpack relayouts
-    # (~8.3 ms/step at B=32 bf16, profiler-measured).  Exact same math and
-    # the identical param/batch_stats tree either way.
+    # keep activations frequency-packed across whole stages (pack once at
+    # stage entry, unpack at pool boundaries) instead of per conv — kills
+    # the per-conv pack/unpack relayouts (~8.3 ms/step at B=32 bf16,
+    # profiler-measured).  Exact same math and the identical
+    # param/batch_stats tree either way.  ADYOLO_PACKED_STAGES=0 (read at
+    # import, for fresh-process A/B benching) flips the default off.
+    packed_stages: bool = os.environ.get("ADYOLO_PACKED_STAGES", "1") != "0"
 
     @nn.compact
     def __call__(self, x, train: bool = False, feat_lengths: Optional[jax.Array] = None):

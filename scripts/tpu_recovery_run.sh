@@ -18,6 +18,12 @@ set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_recovery
 timeout 3600 python bench.py --all   > /tmp/tpu_recovery/bench.log 2>&1
+# A/B the two unmeasured defaults (env read at import; bench workers are
+# fresh processes, so the toggle reaches them)
+ADYOLO_PACKED_STAGES=0 timeout 1800 python bench.py --config train-bf16 \
+                                     > /tmp/tpu_recovery/ab_nopack.log 2>&1
+ADYOLO_TIME_PACK=0 timeout 1800 python bench.py --config train-conformer-bf16 \
+                                     > /tmp/tpu_recovery/ab_notimepack.log 2>&1
 timeout 1800 python scripts/conv_bench.py --strided \
                                      > /tmp/tpu_recovery/conv_strided.log 2>&1
 timeout 1800 python scripts/prof_step.py \
