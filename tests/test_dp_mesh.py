@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from adyolo_tpu.config import Config
+from adyolo_tpu.config import Config, RunConfig
 from adyolo_tpu.data.labels import encode_adyolo, pad_yolo_targets
 from adyolo_tpu.engine.evaluate import make_frontend
 from adyolo_tpu.models.wrapper import build_model, make_grid_geometry
@@ -18,7 +18,8 @@ from adyolo_tpu.parallel.train_step import (build_train_step, init_state,
 
 
 @pytest.mark.slow
-def test_dp_mesh_step_matches_single_device():
+@pytest.mark.parametrize("encoder", ["se-resnet34", "resnet-conformer"])
+def test_dp_mesh_step_matches_single_device(encoder):
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest must provision the 8-device CPU mesh"
 
@@ -26,6 +27,7 @@ def test_dp_mesh_step_matches_single_device():
     secs = 2
     cfg = dataclasses.replace(
         cfg,
+        args=RunConfig(encoder=encoder),
         train=dataclasses.replace(cfg.train, batch_size=n_dev,
                                   max_targets_per_clip=16),
     )
