@@ -288,23 +288,33 @@ class TrainLoader:
         stop = object()
         cancelled = threading.Event()
 
+        def put_cancellable(item) -> bool:
+            """Bounded put that gives up when the consumer is gone — an
+            unconditional q.put would block a worker forever on a full
+            queue after an early consumer exit (quick_test break,
+            preemption), leaking the thread and the pool."""
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in batches:
                     item = _assemble_batch(self.dataset, b, self.max_targets,
                                            pool=pool)
-                    while not cancelled.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue_mod.Full:
-                            continue
-                    if cancelled.is_set():
+                    if not put_cancellable(item):
                         return
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                if not cancelled.is_set():
+                    # post-shutdown pool.map raising is a teardown artifact,
+                    # not an error the (already departed) consumer needs
+                    put_cancellable(e)
                 return
-            q.put(stop)
+            put_cancellable(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

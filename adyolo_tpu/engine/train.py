@@ -23,6 +23,7 @@ import dataclasses
 import os
 import re
 import signal
+import sys
 import time
 from datetime import datetime
 from typing import Dict, Optional
@@ -109,8 +110,16 @@ def _broadcast_str(s: str, width: int = 128) -> str:  # pragma: no cover
 
     raw = s.encode("utf-8", errors="replace")
     if len(raw) > width:
-        raise ValueError(
-            f"exp_id too long to broadcast ({len(raw)} > {width} bytes): {s!r}")
+        # truncate at a codepoint boundary (continuation bytes are
+        # 0b10xxxxxx) rather than crash the multi-host startup; warn so an
+        # oversized --exp_id is visible
+        cut = width
+        while cut > 0 and (raw[cut] & 0xC0) == 0x80:
+            cut -= 1
+        print(f"[adyolo_tpu] WARNING: exp_id exceeds {width} utf-8 bytes; "
+              f"truncated for the multi-host broadcast: {s!r}",
+              file=sys.stderr)
+        raw = raw[:cut]
     buf = np.zeros(width, np.uint8)
     buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
@@ -119,7 +128,7 @@ def _broadcast_str(s: str, width: int = 128) -> str:  # pragma: no cover
     return bytes(out).rstrip(b"\x00").decode("utf-8", errors="replace")
 
 
-DRAIN_EVERY = int(os.environ.get("ADYOLO_DRAIN_EVERY", "2"))
+DRAIN_EVERY = int(os.environ.get("ADYOLO_DRAIN_EVERY", "2"))  # 0 = never
 
 
 def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: bool,
@@ -144,7 +153,7 @@ def train_one_epoch(loader, train_step, state, key, place_batch, quick_test: boo
         batch = place_batch(batch)
         state, loss = train_step(state, batch, sub)
         losses.append(loss)
-        if (i + 1) % DRAIN_EVERY == 0:
+        if DRAIN_EVERY > 0 and (i + 1) % DRAIN_EVERY == 0:
             float(loss)
         if quick_test and i == 4:
             break

@@ -123,8 +123,12 @@ def main() -> None:
 
     B, secs = 16, cfg.data.chunk_window_s
     rng = np.random.default_rng(0)
-    audio16 = jax.device_put(
-        (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
+    audio16 = None
+    if _ONLY is None or not _ONLY.startswith("train-") and _ONLY != "scaler-pass":
+        # ~122 MB device_put only the headline/infer/mic/eval-fwd configs use
+        audio16 = jax.device_put(
+            (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1
+             ).astype(np.float32))
     feat_shape = (1, cfg.data.chunk_feat_frames, cfg.data.mel_bins,
                   cfg.data.nb_feature_channels)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
@@ -158,19 +162,25 @@ def main() -> None:
     B32 = 32
     cfg32 = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, batch_size=B32))
-    geom = make_grid_geometry(cfg32)
-    per_clip = []
-    for b in range(B32):
-        label = {}
-        for _ in range(12):
-            t = int(rng.integers(200))
-            label.setdefault(t, []).append([
-                int(rng.integers(13)), 0, float(rng.uniform(-180, 180)),
-                float(rng.uniform(-90, 90))])
-        per_clip.append(encode_adyolo(label, 200, geom))
-    targets, mask = pad_yolo_targets(per_clip, 8192)
-    audio32 = jax.device_put(
-        (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1).astype(np.float32))
+    targets = mask = audio32 = None
+    if _ONLY is None or _ONLY.startswith("train-"):
+        # the (B=32) batch encode + ~245 MB device_put only serves the
+        # train-* configs; worker subprocesses for the other configs skip
+        # it (the axon tunnel moves ~27 MB/s — that's ~9 s per worker)
+        geom = make_grid_geometry(cfg32)
+        per_clip = []
+        for b in range(B32):
+            label = {}
+            for _ in range(12):
+                t = int(rng.integers(200))
+                label.setdefault(t, []).append([
+                    int(rng.integers(13)), 0, float(rng.uniform(-180, 180)),
+                    float(rng.uniform(-90, 90))])
+            per_clip.append(encode_adyolo(label, 200, geom))
+        targets, mask = pad_yolo_targets(per_clip, 8192)
+        audio32 = jax.device_put(
+            (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1
+             ).astype(np.float32))
 
     def bench_train_step(cfg_b, label):
         mdl = build_model(cfg_b)

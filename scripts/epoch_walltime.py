@@ -77,7 +77,9 @@ def main():
           flush=True)
 
     # ---- device-resident step time (bench methodology) --------------------
-    train_ds.sampler  # keep pool semantics: resample like the engine does
+    # resample like the engine does between epochs — re-timing the warmup's
+    # exact file list would measure a fully warm OS file cache
+    train_ds.resample_epoch()
     batch0 = None
     for b in loader:
         batch0 = place(b)
@@ -116,6 +118,8 @@ def main():
 
     # ---- measured epoch (retried: the axon tunnel throws transient
     # INVALID_ARGUMENT backend errors under sustained transfer load) ------
+    train_ds.resample_epoch()  # fresh files again: the step/transfer probes
+    # above warmed the first batch of the previous list
     import jax.errors
 
     for attempt in range(4):

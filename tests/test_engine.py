@@ -75,6 +75,56 @@ def test_parallel_loader_bit_identical(synth_root):
             np.testing.assert_array_equal(bs[k], bp[k], err_msg=k)
 
 
+def test_loader_early_exit_reaps_threads(synth_root):
+    """Abandoning the epoch iterator early (quick_test break, preemption)
+    must terminate the prefetch worker and its clip pool — a worker
+    blocked on a full queue after the consumer leaves would leak a thread
+    + ThreadPoolExecutor per epoch."""
+    import dataclasses
+    import threading
+    import time
+
+    from adyolo_tpu.config import Config
+    from adyolo_tpu.data.dataset import SELDDataset, TrainLoader
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, data_pth=synth_root),
+        train=dataclasses.replace(cfg.train, batch_size=2, nb_iters=3,
+                                  num_workers=4, prefetch_factor=2))
+    ds = SELDDataset(cfg, "train")
+    it = iter(TrainLoader(ds, cfg))
+    next(it)
+    it.close()  # generator finally: cancelled.set() + pool.shutdown
+
+    def live():
+        return [t.name for t in threading.enumerate()
+                if "clip-loader" in t.name and t.is_alive()]
+
+    deadline = time.time() + 10
+    while time.time() < deadline and live():
+        time.sleep(0.2)
+    assert not live(), live()
+
+
+def test_broadcast_str_truncates_at_codepoint(monkeypatch):
+    """exp_id longer than the broadcast width is truncated at a utf-8
+    codepoint boundary with a warning, not a multi-host startup crash."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from adyolo_tpu.engine import train as T
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", lambda b: b)
+    s = "exp-" + "é" * 100  # 4 + 200 utf-8 bytes
+    out = T._broadcast_str(s)
+    assert len(out.encode("utf-8")) <= 128
+    assert s.startswith(out) and out  # clean prefix, no mangled codepoint
+    assert T._broadcast_str("short-id") == "short-id"
+
+
 def _train_args(root, results_dir, **kw):
     args = {
         "action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
