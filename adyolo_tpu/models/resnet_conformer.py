@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.flash_mhsa import flash_mhsa
 from ..ops.packed_conv import conv_time_packed
 from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
@@ -133,12 +134,28 @@ class FeedForwardModule(nn.Module):
 
 class MHSA(nn.Module):
     """4-head self-attention with the reference's scaling convention
-    (resnet_conformer.py:25-85); padded key positions masked out."""
+    (resnet_conformer.py:25-85); padded key positions masked out.
+
+    Long eval clips (length-bucketed up to 38400 frames) can't
+    materialize the (B, H, T, T) f32 score matrix — 4 heads x 38400^2 x
+    4 B ~ 23 GB, past the 16 GB v5e HBM; the torch reference has the
+    same quadratic blowup on multi-minute clips.  Above
+    ``BLOCK_THRESHOLD`` frames the scores are computed per query block
+    with ``lax.map`` (identical math and reduction pattern, peak memory
+    T^2 -> block*T); training always runs T=800 and keeps the single
+    fused path."""
 
     dim: int
     heads: int = 4
     dropout: float = 0.2
+    # Pallas fused-attention kernel for the training path (ops/flash_mhsa):
+    # never materializes the (B, H, T, T) probs in HBM, dropout mask from
+    # the core PRNG regenerated in backward.  "auto" = on when the default
+    # backend is TPU; ADYOLO_FLASH_MHSA=0 forces the XLA path for A/B.
+    flash: str = os.environ.get("ADYOLO_FLASH_MHSA", "auto")
     dtype: Any = jnp.float32
+
+    BLOCK_THRESHOLD = 2400  # frames; (1,4,2400,2400) f32 = 92 MB is fine
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
@@ -148,17 +165,48 @@ class MHSA(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, dh)
         k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, T, H, dh)
         v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, T, H, dh)
-        # scores/softmax in f32 regardless of compute dtype (bf16 logits
-        # into softmax cost accuracy for free — the (T, T) matrices are a
-        # small part of the attention FLOPs)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (dh ** -0.5)
+        use_flash = (train and T % 8 == 0
+                     and (self.flash == "1" or (self.flash == "auto"
+                          and jax.default_backend() == "tpu")))
+        if use_flash:
+            ctx = flash_mhsa(
+                q, k, v, frame_mask, rate=self.dropout,
+                rng_key=(self.make_rng("dropout") if self.dropout > 0
+                         else None)).reshape(B, T, D)
+            return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
+        kv_mask = None
         if frame_mask is not None:
-            neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
-            scores = jnp.where(frame_mask[:, None, None, :], scores, neg)
-        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = U8Dropout(self.dropout, deterministic=not train)(attn)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, D)
+            kv_mask = frame_mask[:, None, None, :]  # (B, 1, 1, T)
+
+        def attend(q_blk):
+            """(B, bq, H, dh) -> (B, bq, H, dh) attention WITHOUT dropout;
+            scores/softmax in f32 regardless of compute dtype (bf16 logits
+            into softmax cost accuracy for free — the (T, T) matrices are
+            a small part of the attention FLOPs).  Pure function so it is
+            safe inside lax.map (no flax submodules)."""
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q_blk, k,
+                                preferred_element_type=jnp.float32) * (dh ** -0.5)
+            if kv_mask is not None:
+                neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+                scores = jnp.where(kv_mask, scores, neg)
+            attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            return attn, jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        bq = next((c for c in (800, 600, 400, 240, 160, 80, 8)
+                   if T % c == 0 and c < T), None)
+        if train or T <= self.BLOCK_THRESHOLD or bq is None:
+            # fused path: dropout on the full attention-prob tensor
+            # (training always lands here — chunks are 800 frames)
+            attn, ctx = attend(q)
+            if train:
+                attn = U8Dropout(self.dropout, deterministic=not train)(attn)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        else:
+            blocks = jax.lax.map(
+                lambda qb: attend(qb)[1],
+                q.reshape(B, T // bq, bq, H, dh).swapaxes(0, 1))
+            ctx = blocks.swapaxes(0, 1).reshape(B, T, H, dh)
+        ctx = ctx.reshape(B, T, D)
         return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
 
 

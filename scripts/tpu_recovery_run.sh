@@ -28,4 +28,10 @@ timeout 1800 python scripts/conv_bench.py --strided \
                                      > /tmp/tpu_recovery/conv_strided.log 2>&1
 timeout 1800 python scripts/prof_step.py \
                                      > /tmp/tpu_recovery/prof_step.log 2>&1
+# fused MHSA kernel: exactness + PRNG stats + microbench, then an A/B of
+# the conformer train line with the kernel disabled
+timeout 1800 python scripts/flash_check.py \
+                                     > /tmp/tpu_recovery/flash_check.log 2>&1
+ADYOLO_FLASH_MHSA=0 timeout 1800 python bench.py --config train-conformer-bf16 \
+                                     > /tmp/tpu_recovery/ab_noflash.log 2>&1
 tail -n 40 /tmp/tpu_recovery/*.log

@@ -58,3 +58,32 @@ def test_param_scale():
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 7)), False)
     n = sum(x.size for x in jax.tree.leaves(v["params"]))
     assert 20e6 < n < 60e6, n
+
+
+def test_mhsa_blocked_eval_matches_fused(monkeypatch):
+    """Long-clip eval attention (lax.map over query blocks, activated
+    above BLOCK_THRESHOLD frames) must equal the fused path exactly —
+    same softmax rows and matmuls, just bounded peak memory."""
+    from adyolo_tpu.models.resnet_conformer import MHSA
+
+    rng = np.random.default_rng(0)
+    B, T, D = 2, 160, 32
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lens = jnp.array([160, 112])
+    mask = jnp.arange(T)[None, :] < lens[:, None]
+    m = MHSA(D)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+
+    fused = m.apply(variables, x, False)
+    fused_m = m.apply(variables, x, False, frame_mask=mask)
+    monkeypatch.setattr(MHSA, "BLOCK_THRESHOLD", 100)  # force blocked (bq=80)
+    blocked = m.apply(variables, x, False)
+    blocked_m = m.apply(variables, x, False, frame_mask=mask)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(fused),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(blocked_m), np.asarray(fused_m),
+                               atol=2e-6)
+
+    # train mode keeps the fused path (dropout needs the full prob tensor)
+    tr = m.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert tr.shape == fused.shape

@@ -1,0 +1,142 @@
+"""Exactness + gradient tests for the fused Pallas MHSA kernel
+(ops/flash_mhsa), run in interpret mode on the CPU mesh.
+
+The dropout mask depends only on (seed, block shape) — never on q/k/v
+values — so finite differences at a fixed seed are a valid check of the
+recompute-based backward pass.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adyolo_tpu.ops.flash_mhsa import flash_mhsa
+
+
+def _ref_attn(q, k, v, frame_mask=None, scale=None):
+    dh = q.shape[-1]
+    scale = scale or dh ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if frame_mask is not None:
+        s = jnp.where(frame_mask[:, None, None, :], s,
+                      jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def _mk(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_forward_matches_xla(masked):
+    B, T, H, dh = 2, 48, 2, 8
+    q, k, v = _mk((B, T, H, dh), 0), _mk((B, T, H, dh), 1), _mk((B, T, H, dh), 2)
+    mask = None
+    if masked:
+        mask = jnp.arange(T)[None, :] < jnp.array([T, T - 15])[:, None]
+    out = flash_mhsa(q, k, v, mask, bq=16, interpret=True)
+    ref = _ref_attn(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_grads_match_xla_no_dropout():
+    B, T, H, dh = 1, 32, 2, 8
+    q, k, v = _mk((B, T, H, dh), 3), _mk((B, T, H, dh), 4), _mk((B, T, H, dh), 5)
+    mask = jnp.arange(T)[None, :] < jnp.array([T - 7])[:, None]
+    co = _mk((B, T, H, dh), 6)  # fixed cotangent
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mhsa(q, k, v, mask, bq=16, interpret=True) * co)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attn(q, k, v, mask) * co)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_dropout_deterministic_and_scaled():
+    B, T, H, dh = 1, 32, 2, 8
+    q, k, v = _mk((B, T, H, dh), 7), _mk((B, T, H, dh), 8), _mk((B, T, H, dh), 9)
+    key = jax.random.PRNGKey(11)
+    f = lambda: flash_mhsa(q, k, v, rate=0.2, rng_key=key, bq=16,
+                           interpret=True)
+    a, b = f(), f()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a different key gives a different mask
+    c = flash_mhsa(q, k, v, rate=0.2, rng_key=jax.random.PRNGKey(12),
+                   bq=16, interpret=True)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    # rate ~1.0 drops everything (U8Dropout edge semantics)
+    z = flash_mhsa(q, k, v, rate=1.0, rng_key=key, bq=16, interpret=True)
+    assert np.all(np.asarray(z) == 0)
+
+
+def test_dropout_keep_rate():
+    """With uniform probs (q=0), out = drop(1/T_valid) @ v: the per-row
+    keep count is Binomial(T, 1-q_rate); check the global mean."""
+    B, T, H, dh = 2, 64, 2, 8
+    q = jnp.zeros((B, T, H, dh))
+    k = jnp.zeros((B, T, H, dh))
+    v = jnp.ones((B, T, H, dh))
+    out = flash_mhsa(q, k, v, rate=0.25, rng_key=jax.random.PRNGKey(3),
+                     bq=32, interpret=True)
+    # each out element = keep_frac_row * scale; E == 1
+    m = float(jnp.mean(out))
+    assert 0.93 < m < 1.07, m
+
+
+def test_dropout_grads_finite_difference():
+    B, T, H, dh = 1, 16, 1, 8
+    q, k, v = _mk((B, T, H, dh), 10), _mk((B, T, H, dh), 11), _mk((B, T, H, dh), 12)
+    mask = jnp.arange(T)[None, :] < jnp.array([13])[:, None]
+    key = jax.random.PRNGKey(5)
+    co = _mk((B, T, H, dh), 13)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_mhsa(q, k, v, mask, rate=0.2, rng_key=key,
+                                  bq=8, interpret=True) * co)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    rng = np.random.default_rng(0)
+    eps = 1e-3
+    for arr, g in ((q, gq), (k, gk), (v, gv)):
+        for _ in range(4):
+            idx = tuple(rng.integers(0, s) for s in arr.shape)
+            d = np.zeros(arr.shape, np.float32)
+            d[idx] = eps
+            num = (float(loss(*[a + d if a is arr else a for a in (q, k, v)]))
+                   - float(loss(*[a - d if a is arr else a
+                                  for a in (q, k, v)]))) / (2 * eps)
+            np.testing.assert_allclose(num, float(g[idx]), atol=2e-3,
+                                       rtol=2e-2)
+
+
+def test_mhsa_module_flash_flag_matches_xla_path():
+    """MHSA(flash='1') in interpret-free CPU mode is only exercised via
+    direct kernel calls above; here check the module's flash branch wiring
+    end-to-end in interpret mode by monkeypatching flash_mhsa."""
+    import adyolo_tpu.models.resnet_conformer as rc
+
+    B, T, D = 2, 32, 16
+    x = _mk((B, T, D), 20)
+    m = rc.MHSA(D, heads=2, dropout=0.0, flash="0")
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    ref = m.apply(variables, x, True)
+
+    orig = rc.flash_mhsa
+    try:
+        rc.flash_mhsa = lambda *a, **kw: orig(*a, **kw, interpret=True)
+        out = rc.MHSA(D, heads=2, dropout=0.0, flash="1").apply(
+            variables, x, True)
+    finally:
+        rc.flash_mhsa = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6,
+                               rtol=1e-5)
