@@ -165,13 +165,17 @@ class MHSA(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, dh)
         k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, T, H, dh)
         v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, T, H, dh)
-        use_flash = (train and T % 8 == 0
+        # the kernel keeps whole-KV per (batch, head) in VMEM, so eval uses
+        # it too below BLOCK_THRESHOLD (dropout off); longer eval buckets
+        # fall through to the lax.map query-block path
+        use_flash = ((train or T <= self.BLOCK_THRESHOLD) and T % 8 == 0
                      and (self.flash == "1" or (self.flash == "auto"
                           and jax.default_backend() == "tpu")))
         if use_flash:
+            rate = self.dropout if train else 0.0
             ctx = flash_mhsa(
-                q, k, v, frame_mask, rate=self.dropout,
-                rng_key=(self.make_rng("dropout") if self.dropout > 0
+                q, k, v, frame_mask, rate=rate,
+                rng_key=(self.make_rng("dropout") if rate > 0
                          else None)).reshape(B, T, D)
             return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
         kv_mask = None

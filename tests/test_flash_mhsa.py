@@ -134,9 +134,13 @@ def test_mhsa_module_flash_flag_matches_xla_path():
     orig = rc.flash_mhsa
     try:
         rc.flash_mhsa = lambda *a, **kw: orig(*a, **kw, interpret=True)
-        out = rc.MHSA(D, heads=2, dropout=0.0, flash="1").apply(
-            variables, x, True)
+        m1 = rc.MHSA(D, heads=2, dropout=0.0, flash="1")
+        out = m1.apply(variables, x, True)
+        # eval below BLOCK_THRESHOLD also routes through the kernel
+        out_eval = m1.apply(variables, x, False)
     finally:
         rc.flash_mhsa = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6,
                                rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
