@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.flash_mhsa import flash_mhsa
+from ..ops.flash_mhsa import flash_mhsa, flash_mhsa_long
 from ..ops.packed_conv import conv_time_packed
 from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
@@ -196,6 +196,14 @@ class MHSA(nn.Module):
             attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             return attn, jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
+        if (not train and T > self.BLOCK_THRESHOLD and T % 8 == 0
+                and (self.flash == "1" or (self.flash == "auto"
+                     and jax.default_backend() == "tpu"))):
+            # online-softmax kernel: O(q+k+v) HBM traffic on multi-minute
+            # clips (the lax.map fallback below still writes (bq, T)
+            # score slabs to HBM per step)
+            ctx = flash_mhsa_long(q, k, v, frame_mask).reshape(B, T, D)
+            return nn.Dense(D, dtype=self.dtype, name="linear")(ctx)
         bq = next((c for c in (800, 600, 400, 240, 160, 80, 8)
                    if T % c == 0 and c < T), None)
         if train or T <= self.BLOCK_THRESHOLD or bq is None:

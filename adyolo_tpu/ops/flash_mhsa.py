@@ -252,3 +252,98 @@ def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array,
         maskf = jnp.pad(frame_mask.astype(jnp.float32),
                         ((0, 0), (0, Tp - T)))
     return _flash(q, k, v, maskf, seed, thresh, bq, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Long-clip (online-softmax) variant — eval only, fwd only.
+#
+# Length-bucketed eval clips reach T=38400 frames; whole-KV-in-VMEM above
+# is capped around T~2400 (k+v per (batch, head) outgrow VMEM) and the
+# XLA lax.map fallback still materializes (bq, T) score slabs in HBM —
+# ~4 x 0.5 GB of traffic per map step on a 3-minute STARSS22 clip.  This
+# kernel adds a KV grid dimension and carries the classic flash running
+# statistics (row max m, row sum l, unnormalized accumulator) in VMEM
+# scratch, so HBM traffic drops to O(q + k + v + out).
+# ---------------------------------------------------------------------------
+
+
+def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
+                 acc_ref, mx_ref, l_ref, *, scale, nkv):
+    kvi = pl.program_id(3)
+
+    @pl.when(kvi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref[:])
+        mx_ref[:] = jnp.full_like(mx_ref[:], _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref[:])
+
+    s = jax.lax.dot_general(
+        q_ref[0, :, 0, :], k_ref[0, :, 0, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    maskb = m_ref[0, :][None, :] != 0
+    s = jnp.where(maskb, s, _NEG)
+    m_old = mx_ref[:, :1]                       # (bq, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    # exp(s - m_new) would be exp(0)=1 on masked lanes while m_new is
+    # still _NEG (an all-masked leading block): multiply the mask back in
+    p = jnp.exp(s - m_new) * maskb.astype(jnp.float32)
+    alpha = jnp.exp(m_old - m_new)              # (bq, 1)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, :, 0, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mx_ref[:] = jnp.broadcast_to(m_new, mx_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kvi == nkv - 1)
+    def _():
+        o_ref[0, :, 0, :] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_mhsa_long(q: jax.Array, k: jax.Array, v: jax.Array,
+                    frame_mask: Optional[jax.Array] = None, *,
+                    bq: Optional[int] = None, bkv: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """Online-softmax attention for arbitrarily long (B, T, H, dh) clips.
+    Forward only (eval path; no dropout).  Same math/masking semantics as
+    ``flash_mhsa``; peak memory O(bq*bkv) per (batch, head)."""
+    B, T, H, dh = q.shape
+    bq = bq or _pick_bq(T)
+    assert T % bq == 0, (T, bq)
+    Tp = -(-T // bkv) * bkv
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    if frame_mask is None:
+        maskf = jnp.broadcast_to(
+            (jnp.arange(Tp)[None, :] < T).astype(jnp.float32), (B, Tp))
+    else:
+        maskf = jnp.pad(frame_mask.astype(jnp.float32),
+                        ((0, 0), (0, Tp - T)))
+    nq, nkv = T // bq, Tp // bkv
+    out = pl.pallas_call(
+        functools.partial(_long_kernel, scale=dh ** -0.5, nkv=nkv),
+        grid=(B, H, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, dh), lambda b, h, qi, kvi: (b, qi, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, 1, dh), lambda b, h, qi, kvi: (b, kvi, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, 1, dh), lambda b, h, qi, kvi: (b, kvi, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv), lambda b, h, qi, kvi: (b, kvi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, dh),
+                               lambda b, h, qi, kvi: (b, qi, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dh), jnp.float32),    # unnormalized accumulator
+            pltpu.VMEM((bq, 128), jnp.float32),   # running row max
+            pltpu.VMEM((bq, 128), jnp.float32),   # running row sum
+        ],
+        interpret=_interp(interpret),
+    )(q, k, v, maskf)
+    return out

@@ -144,3 +144,35 @@ def test_mhsa_module_flash_flag_matches_xla_path():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_eval), np.asarray(ref),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_long_online_softmax_matches_fused():
+    from adyolo_tpu.ops.flash_mhsa import flash_mhsa_long
+
+    B, T, H, dh = 2, 96, 2, 8
+    q, k, v = _mk((B, T, H, dh), 30), _mk((B, T, H, dh), 31), _mk((B, T, H, dh), 32)
+    # ragged valid lengths; bkv=32 -> 3 kv blocks, T padded to 96 exactly
+    mask = jnp.arange(T)[None, :] < jnp.array([96, 50])[:, None]
+    out = flash_mhsa_long(q, k, v, mask, bq=32, bkv=32, interpret=True)
+    ref = _ref_attn(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    # unmasked + pad-only masking (T not a multiple of bkv)
+    out2 = flash_mhsa_long(q, k, v, bq=32, bkv=40, interpret=True)
+    ref2 = _ref_attn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_long_all_masked_leading_block():
+    """A fully-masked leading KV block must not poison the running max
+    (the exp(0)=1 edge): mask out the first 32 keys entirely."""
+    from adyolo_tpu.ops.flash_mhsa import flash_mhsa_long
+
+    B, T, H, dh = 1, 96, 1, 8
+    q, k, v = _mk((B, T, H, dh), 33), _mk((B, T, H, dh), 34), _mk((B, T, H, dh), 35)
+    mask = (jnp.arange(T)[None, :] >= 32)
+    out = flash_mhsa_long(q, k, v, mask, bq=32, bkv=32, interpret=True)
+    ref = _ref_attn(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
