@@ -64,7 +64,20 @@ _ERRORS = []
 _ONLY = None  # --config NAME: run a single config (subprocess worker mode)
 
 DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
-                   "train-conformer-bf16")
+                   "train-conformer-bf16",
+                   # A/B lines for the defaults that landed while the chip
+                   # lease was wedged (r3): same benches with one
+                   # optimization disabled via env, so the driver artifact
+                   # itself decides whether each default stays on
+                   "train-bf16-nopack", "train-conformer-bf16-noflash",
+                   "train-conformer-bf16-notimepack")
+# env overrides per A/B config; applied in the worker process before any
+# adyolo/jax import (the flags are read at import time)
+CONFIG_ENV = {
+    "train-bf16-nopack": {"ADYOLO_PACKED_STAGES": "0"},
+    "train-conformer-bf16-noflash": {"ADYOLO_FLASH_MHSA": "0"},
+    "train-conformer-bf16-notimepack": {"ADYOLO_TIME_PACK": "0"},
+}
 ALL_CONFIGS = DEFAULT_CONFIGS + ("infer-latency", "scaler-pass", "mic-gcc",
                                  "eval-fwd-accdoa", "eval-fwd-adyolo")
 
@@ -81,6 +94,14 @@ def _run_config(name, fn, attempts=3):
     retry handles transient measurement errors only; process-level
     isolation lives in ``_orchestrate`` below."""
     if _ONLY is not None and name != _ONLY:
+        return False
+    want = CONFIG_ENV.get(name)
+    if want and any(os.environ.get(k) != v for k, v in want.items()):
+        # A/B variants need their env override in place before the first
+        # adyolo import (worker mode sets it; legacy --inprocess can't)
+        _ERRORS.append({"config": name,
+                        "error": "skipped: env override requires subprocess "
+                                 "worker mode"})
         return False
     for attempt in range(attempts):
         try:
@@ -217,6 +238,12 @@ def main() -> None:
         cfg32bf, "train-step throughput (fwd+bwd+adam, B=32, bf16 compute)"))
     _run_config("train-conformer-bf16", lambda: bench_train_step(
         cfg32conf, "train-step throughput (resnet-conformer, B=32, bf16)"))
+    _run_config("train-bf16-nopack", lambda: bench_train_step(
+        cfg32bf, "train-step throughput (B=32, bf16, packed_stages OFF)"))
+    _run_config("train-conformer-bf16-noflash", lambda: bench_train_step(
+        cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA OFF)"))
+    _run_config("train-conformer-bf16-notimepack", lambda: bench_train_step(
+        cfg32conf, "train-step throughput (conformer, bf16, time-pack OFF)"))
 
     if run_all:
         from adyolo_tpu.ops.decode import PostProcessor
@@ -370,6 +397,9 @@ def _orchestrate() -> None:
 if __name__ == "__main__":
     if "--config" in sys.argv:
         _ONLY = sys.argv[sys.argv.index("--config") + 1]
+        # A/B env overrides must land before the first adyolo/jax import
+        # (main() imports lazily, so this is early enough)
+        os.environ.update(CONFIG_ENV.get(_ONLY, {}))
         try:
             main()
         except Exception as exc:  # noqa: BLE001
