@@ -17,21 +17,15 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_recovery
-timeout 3600 python bench.py --all   > /tmp/tpu_recovery/bench.log 2>&1
-# A/B the two unmeasured defaults (env read at import; bench workers are
-# fresh processes, so the toggle reaches them)
-ADYOLO_PACKED_STAGES=0 timeout 1800 python bench.py --config train-bf16 \
-                                     > /tmp/tpu_recovery/ab_nopack.log 2>&1
-ADYOLO_TIME_PACK=0 timeout 1800 python bench.py --config train-conformer-bf16 \
-                                     > /tmp/tpu_recovery/ab_notimepack.log 2>&1
+# --all now includes the A/B variant configs (train-bf16-nopack,
+# train-conformer-bf16-noflash, train-conformer-bf16-notimepack) in
+# their own worker subprocesses — no separate env'd runs needed
+timeout 5400 python bench.py --all   > /tmp/tpu_recovery/bench.log 2>&1
 timeout 1800 python scripts/conv_bench.py --strided \
                                      > /tmp/tpu_recovery/conv_strided.log 2>&1
 timeout 1800 python scripts/prof_step.py \
                                      > /tmp/tpu_recovery/prof_step.log 2>&1
-# fused MHSA kernel: exactness + PRNG stats + microbench, then an A/B of
-# the conformer train line with the kernel disabled
+# fused MHSA kernel: exactness + PRNG stats + microbench
 timeout 1800 python scripts/flash_check.py \
                                      > /tmp/tpu_recovery/flash_check.log 2>&1
-ADYOLO_FLASH_MHSA=0 timeout 1800 python bench.py --config train-conformer-bf16 \
-                                     > /tmp/tpu_recovery/ab_noflash.log 2>&1
 tail -n 40 /tmp/tpu_recovery/*.log
