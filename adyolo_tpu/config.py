@@ -398,12 +398,16 @@ def build_config(
         if v is not None and k in train_fields:
             train_d[k] = v
 
+    mesh_d = dict(args.get("mesh", {}) if isinstance(args.get("mesh"), dict)
+                  else {})
+    if args.get("model_parallel") is not None:
+        mesh_d["model_parallel"] = int(args["model_parallel"])
     return Config(
         args=run,
         data=_dataclass_from(DataConfig, data_d),
         aug=_dataclass_from(AugConfig, aug_d),
         train=_dataclass_from(TrainConfig, train_d),
-        mesh=_dataclass_from(MeshConfig, args.get("mesh", {}) if isinstance(args.get("mesh"), dict) else {}),
+        mesh=_dataclass_from(MeshConfig, mesh_d),
     )
 
 

@@ -173,9 +173,19 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
         # partitioner adds minutes of compile time for zero benefit)
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
     else:
+        from .mesh import state_shardings
+
         repl = NamedSharding(mesh, P())
         batch_shardings = batch_shardings_for(cfg, mesh)
-        state_sh = TrainState(repl, repl, repl, repl)
+        if mesh.shape.get(cfg.mesh.model_axis, 1) > 1:
+            # tensor parallelism: per-leaf shardings from the TP rules
+            # (mesh.state_shardings); the state structure comes from an
+            # eval_shape of init (no arrays are materialized)
+            state_struct = jax.eval_shape(
+                lambda: init_state(cfg, model, frontend, jax.random.PRNGKey(0)))
+            state_sh = state_shardings(state_struct, mesh)
+        else:
+            state_sh = TrainState(repl, repl, repl, repl)
         jit_step = jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_shardings, repl,
