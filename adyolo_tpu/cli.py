@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "parallelism of the conformer FFN/MHSA; "
                              "devices = data_parallel x model_parallel)")
 
-    for action in ("train", "val", "test", "infer"):
+    for action in ("train", "val", "test", "infer", "export"):
         sp = sub.add_parser(action)
         add_common(sp)
 
@@ -111,6 +111,10 @@ def main(argv=None) -> int:
         from .engine.train import train_model
 
         train_model(arg_dict, is_resume=args.resume_pth is not None)
+    elif args.action == "export":
+        from .engine.export import export_cmd
+
+        export_cmd(arg_dict, results_dir=args.results_dir)
     else:
         from .engine.evaluate import test_model
 
