@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="train-step conv/matmul dtype (bfloat16 is "
                              "~1.7x faster on TPU; eval always runs f32)")
+        sp.add_argument("--remat", action="store_const", const=True,
+                        default=None,
+                        help="jax.checkpoint the conformer blocks (less "
+                             "activation memory, ~1/3 more FLOPs)")
         sp.add_argument("--model_parallel", type=int, default=None,
                         help="mesh size along the model axis (tensor "
                              "parallelism of the conformer FFN/MHSA; "

@@ -149,6 +149,9 @@ class TrainConfig:
     # 7) with a validity mask so XLA shapes stay static.
     max_targets_per_clip: int = 4096
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv/matmul
+    remat: bool = False  # jax.checkpoint the conformer blocks (activation
+    # rematerialization: ~n_layers x less transformer activation memory in
+    # backward for ~1/3 more FLOPs -- enables larger batches)
     # per-frame candidate cap for the device-side AD-YOLO decode compaction
     # (0 = ship the full grid); exactness is guarded at decode time — the
     # host re-decodes the full grid whenever the k-th candidate still

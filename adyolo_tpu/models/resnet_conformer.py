@@ -294,6 +294,11 @@ class ResNetConformer(nn.Module):
     # regresses.  ADYOLO_TIME_PACK=0 (read at import, for fresh-process
     # A/B benching) flips the default off.
     time_pack: bool = os.environ.get("ADYOLO_TIME_PACK", "1") != "0"
+    # jax.checkpoint each conformer block (cfg.train.remat / --remat):
+    # backward recomputes the block instead of keeping its activations —
+    # ~num_layers x less transformer activation memory for ~1/3 more
+    # FLOPs, for batch sizes past the HBM ceiling
+    remat: bool = False
     dtype: Any = jnp.float32  # compute dtype for the resnet stages AND the
     # conformer blocks (attention softmax stays f32 inside MHSA)
 
@@ -337,9 +342,14 @@ class ResNetConformer(nn.Module):
         x = nn.Dense(self.emb_dim, use_bias=False, dtype=self.dtype,
                      name="bottleneck")(x)
 
+        block_cls = ConformerBlock
+        if self.remat:
+            # static_argnums counts the bound method's args with the module
+            # instance at 0: (self, x, train, frame_mask) -> train is 2
+            block_cls = nn.remat(ConformerBlock, static_argnums=(2,))
         for i in range(self.num_layers):
-            x = ConformerBlock(self.emb_dim, dilation=2 ** i, dtype=self.dtype,
-                               name=f"conformer{i}")(x, train, frame_mask)
+            x = block_cls(self.emb_dim, dilation=2 ** i, dtype=self.dtype,
+                          name=f"conformer{i}")(x, train, frame_mask)
 
         # time pooling by 4 + LN (PoolingModule; sum of two identical avg
         # pools == 2*avg, invariant under the following LayerNorm)

@@ -39,6 +39,7 @@ class SELDModel(nn.Module):
     nb_anchors: int = 5
     enc_out_dim: int = 256
     compute_dtype: Any = jnp.float32  # encoder conv-stack dtype (bf16 train)
+    remat: bool = False  # checkpoint conformer blocks (cfg.train.remat)
 
     @nn.compact
     def __call__(self, feat, train: bool = False, feat_lengths=None):
@@ -51,7 +52,7 @@ class SELDModel(nn.Module):
             from .resnet_conformer import ResNetConformer
 
             x = ResNetConformer(emb_dim=self.enc_out_dim, dtype=self.compute_dtype,
-                                name="encoder")(
+                                remat=self.remat, name="encoder")(
                 feat, train=train, feat_lengths=feat_lengths)
         else:
             raise NotImplementedError(f"encoder: {self.encoder_nm}")
@@ -82,6 +83,7 @@ def build_model(cfg: Config, compute_dtype: Optional[str] = None) -> SELDModel:
         grid_size=tuple(cfg.train.grid_size),
         nb_anchors=cfg.train.nb_anchors,
         compute_dtype=dtype,
+        remat=cfg.train.remat,
     )
 
 

@@ -87,3 +87,30 @@ def test_mhsa_blocked_eval_matches_fused(monkeypatch):
     # train mode keeps the fused path (dropout needs the full prob tensor)
     tr = m.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert tr.shape == fused.shape
+
+
+def test_remat_exactness():
+    """nn.remat is semantics-preserving: same forward and same gradients,
+    only the backward's memory/recompute schedule changes."""
+    from adyolo_tpu.models.resnet_conformer import ResNetConformer
+
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (1, 16, 64, 7)).astype(np.float32))
+    m0 = ResNetConformer(num_layers=2)
+    m1 = ResNetConformer(num_layers=2, remat=True)
+    vs = m0.init({"params": jax.random.PRNGKey(0)}, x, False)
+
+    o0 = m0.apply(vs, x, False)
+    o1 = m1.apply(vs, x, False)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def loss(mdl, params):
+        out, _ = mdl.apply({**vs, "params": params}, x, True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(vs["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(vs["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
