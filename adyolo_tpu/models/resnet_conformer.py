@@ -151,8 +151,12 @@ class MHSA(nn.Module):
     # Pallas fused-attention kernel for the training path (ops/flash_mhsa):
     # never materializes the (B, H, T, T) probs in HBM, dropout mask from
     # the core PRNG regenerated in backward.  "auto" = on when the default
-    # backend is TPU; ADYOLO_FLASH_MHSA=0 forces the XLA path for A/B.
-    flash: str = os.environ.get("ADYOLO_FLASH_MHSA", "auto")
+    # backend is TPU; "0" = always the XLA paths.  Shipped default OFF
+    # until the kernel has compiled+won on the real chip (the r3 chip
+    # lease wedge blocked validation): bench's
+    # train-conformer-bf16-flash A/B config measures it ON — flip the
+    # default once it wins (scripts/flash_check.py has the full check).
+    flash: str = os.environ.get("ADYOLO_FLASH_MHSA", "0")
     dtype: Any = jnp.float32
 
     BLOCK_THRESHOLD = 2400  # frames; (1,4,2400,2400) f32 = 92 MB is fine

@@ -69,13 +69,15 @@ DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
                    # lease was wedged (r3): same benches with one
                    # optimization disabled via env, so the driver artifact
                    # itself decides whether each default stays on
-                   "train-bf16-nopack", "train-conformer-bf16-noflash",
+                   "train-bf16-nopack", "train-conformer-bf16-flash",
                    "train-conformer-bf16-notimepack")
 # env overrides per A/B config; applied in the worker process before any
 # adyolo/jax import (the flags are read at import time)
 CONFIG_ENV = {
     "train-bf16-nopack": {"ADYOLO_PACKED_STAGES": "0"},
-    "train-conformer-bf16-noflash": {"ADYOLO_FLASH_MHSA": "0"},
+    # the fused MHSA kernel ships default-OFF until TPU-validated; this
+    # line measures it ON so the driver artifact decides the flip
+    "train-conformer-bf16-flash": {"ADYOLO_FLASH_MHSA": "auto"},
     "train-conformer-bf16-notimepack": {"ADYOLO_TIME_PACK": "0"},
 }
 ALL_CONFIGS = DEFAULT_CONFIGS + ("infer-latency", "scaler-pass", "mic-gcc",
@@ -240,8 +242,8 @@ def main() -> None:
         cfg32conf, "train-step throughput (resnet-conformer, B=32, bf16)"))
     _run_config("train-bf16-nopack", lambda: bench_train_step(
         cfg32bf, "train-step throughput (B=32, bf16, packed_stages OFF)"))
-    _run_config("train-conformer-bf16-noflash", lambda: bench_train_step(
-        cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA OFF)"))
+    _run_config("train-conformer-bf16-flash", lambda: bench_train_step(
+        cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA ON)"))
     _run_config("train-conformer-bf16-notimepack", lambda: bench_train_step(
         cfg32conf, "train-step throughput (conformer, bf16, time-pack OFF)"))
 
