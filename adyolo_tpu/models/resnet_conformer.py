@@ -169,13 +169,15 @@ class MHSA(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, T, H, dh)
         k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, T, H, dh)
         v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, T, H, dh)
-        # the kernel keeps whole-KV per (batch, head) in VMEM, so eval uses
-        # it too below BLOCK_THRESHOLD (dropout off); longer eval buckets
-        # fall through to the lax.map query-block path
-        use_flash = ((train or T <= self.BLOCK_THRESHOLD) and T % 8 == 0
-                     and (self.flash == "1" or (self.flash == "auto"
-                          and jax.default_backend() == "tpu")))
-        if use_flash:
+        # the kernel keeps whole-KV per (batch, head) in VMEM, so it only
+        # fires below BLOCK_THRESHOLD (train chunks are 800 frames; a
+        # hypothetical long-chunk training config falls back to the fused
+        # XLA path, which carries the dropout); longer eval buckets route
+        # to the online-softmax kernel or the lax.map fallback below
+        flash_on = (T % 8 == 0
+                    and (self.flash == "1" or (self.flash == "auto"
+                         and jax.default_backend() == "tpu")))
+        if flash_on and T <= self.BLOCK_THRESHOLD:
             rate = self.dropout if train else 0.0
             ctx = flash_mhsa(
                 q, k, v, frame_mask, rate=rate,
@@ -200,9 +202,7 @@ class MHSA(nn.Module):
             attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             return attn, jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
-        if (not train and T > self.BLOCK_THRESHOLD and T % 8 == 0
-                and (self.flash == "1" or (self.flash == "auto"
-                     and jax.default_backend() == "tpu"))):
+        if flash_on and not train and T > self.BLOCK_THRESHOLD:
             # online-softmax kernel: O(q+k+v) HBM traffic on multi-minute
             # clips (the lax.map fallback below still writes (bq, T)
             # score slabs to HBM per step)

@@ -297,7 +297,14 @@ def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
 
     @pl.when(kvi == nkv - 1)
     def _():
-        o_ref[0, :, 0, :] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # a fully-masked query row (feat_length 0) has l == 0: emit zeros
+        # rather than 0/0 NaN (the XLA paths emit a meaningless uniform
+        # average there; either value is masked downstream — finiteness is
+        # what matters so the NaN can't poison later residuals/LayerNorms)
+        l = l_ref[:, :1]
+        o_ref[0, :, 0, :] = jnp.where(
+            l > 0, acc_ref[:] / jnp.maximum(l, 1.0e-30), 0.0
+        ).astype(o_ref.dtype)
 
 
 def flash_mhsa_long(q: jax.Array, k: jax.Array, v: jax.Array,

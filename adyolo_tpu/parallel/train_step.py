@@ -12,6 +12,7 @@ builders serve the single-chip case (1-device mesh) with zero overhead.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -181,6 +182,16 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
             # tensor parallelism: per-leaf shardings from the TP rules
             # (mesh.state_shardings); the state structure comes from an
             # eval_shape of init (no arrays are materialized)
+            flash_env = os.environ.get("ADYOLO_FLASH_MHSA", "0")
+            if flash_env == "1" or (flash_env == "auto"
+                                    and jax.default_backend() == "tpu"):
+                # the fused MHSA pallas_call has no SPMD partitioning rule:
+                # under head-sharded q/k/v the partitioner either fails or
+                # silently all-gathers and replicates the kernel per shard
+                raise ValueError(
+                    "model_parallel > 1 requires ADYOLO_FLASH_MHSA=0 (the "
+                    "fused attention kernel has no SPMD rule; the XLA "
+                    "attention path shards cleanly)")
             state_struct = jax.eval_shape(
                 lambda: init_state(cfg, model, frontend, jax.random.PRNGKey(0)))
             state_sh = state_shardings(state_struct, mesh)

@@ -176,3 +176,62 @@ def test_long_all_masked_leading_block():
     ref = _ref_attn(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_long_fully_masked_row_is_finite_zero():
+    """A batch element with every key masked (feat_length 0) must emit
+    finite zeros from the online-softmax kernel, not 0/0 NaN."""
+    from adyolo_tpu.ops.flash_mhsa import flash_mhsa_long
+
+    B, T, H, dh = 2, 64, 1, 8
+    q, k, v = _mk((B, T, H, dh), 40), _mk((B, T, H, dh), 41), _mk((B, T, H, dh), 42)
+    mask = jnp.stack([jnp.ones(T, bool), jnp.zeros(T, bool)])
+    out = np.asarray(flash_mhsa_long(q, k, v, mask, bq=32, bkv=32,
+                                     interpret=True))
+    assert np.isfinite(out).all()
+    assert np.all(out[1] == 0)
+    ref = _ref_attn(q[:1], k[:1], v[:1], mask[:1])
+    np.testing.assert_allclose(out[:1], np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_train_long_T_falls_back_to_xla(monkeypatch):
+    """Training above BLOCK_THRESHOLD must NOT route into the whole-KV
+    kernel (VMEM cap) — it keeps the fused XLA path with dropout."""
+    import adyolo_tpu.models.resnet_conformer as rc
+
+    calls = []
+    monkeypatch.setattr(rc, "flash_mhsa",
+                        lambda *a, **kw: calls.append(1) or (_ for _ in ()).throw(
+                            AssertionError("flash used above threshold")))
+    # eval above the threshold correctly routes to the long kernel — give
+    # it interpret mode for the CPU-backed init call
+    orig_long = rc.flash_mhsa_long
+    monkeypatch.setattr(rc, "flash_mhsa_long",
+                        lambda *a, **kw: orig_long(*a, **kw, interpret=True))
+    monkeypatch.setattr(rc.MHSA, "BLOCK_THRESHOLD", 16)
+    B, T, D = 1, 32, 16
+    x = _mk((B, T, D), 50)
+    m = rc.MHSA(D, heads=2, dropout=0.2, flash="1")
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+    out = m.apply(vs, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (B, T, D) and not calls
+
+
+def test_tp_rejects_flash_env(monkeypatch):
+    import dataclasses
+
+    from adyolo_tpu.config import Config, MeshConfig, RunConfig
+    from adyolo_tpu.engine.evaluate import make_frontend
+    from adyolo_tpu.models.wrapper import build_model
+    from adyolo_tpu.parallel.mesh import make_mesh
+    from adyolo_tpu.parallel.train_step import build_train_step
+
+    monkeypatch.setenv("ADYOLO_FLASH_MHSA", "1")
+    cfg = dataclasses.replace(
+        Config(), args=RunConfig(encoder="resnet-conformer"),
+        mesh=MeshConfig(model_parallel=2))
+    frontend = make_frontend(cfg)
+    model = build_model(cfg)
+    mesh = make_mesh(cfg.mesh, batch_size=8)
+    with pytest.raises(ValueError, match="ADYOLO_FLASH_MHSA"):
+        build_train_step(cfg, model, frontend, mesh)
