@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.flash_mhsa import flash_mhsa, flash_mhsa_long
-from ..ops.packed_conv import conv_time_packed
+from ..ops.packed_conv import best_pack, conv_time_packed, pack_x, unpack_x
 from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
 __all__ = ["ResNetConformer"]
@@ -77,12 +77,31 @@ class TVBasicBlock(nn.Module):
     planes: int
     f_stride: int = 1
     time_pack: bool = True
+    # pack > 1: input arrives packed-resident (B, T, F/pack, pack*C) and
+    # the output stays packed — no per-conv relayouts (stride-1,
+    # channel-preserving blocks only; see SEResNet34.packed_stages)
+    pack: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, frame_mask=None):
+        from .layers import BatchNorm
+
         residual = x
         stride = (1, self.f_stride)
+        if self.pack > 1:
+            assert self.f_stride == 1
+            out = Conv3x3(self.planes, use_bias=False, dtype=self.dtype,
+                          pack=self.pack, name="conv1")(x)
+            out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train,
+                                                          pack=self.pack)
+            out = apply_frame_mask(nn.relu(out), frame_mask)
+            out = Conv3x3(self.planes, use_bias=False, dtype=self.dtype,
+                          pack=self.pack, name="conv2")(out)
+            out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train,
+                                                          pack=self.pack)
+            out = apply_frame_mask(out, frame_mask)
+            return apply_frame_mask(nn.relu(out + residual), frame_mask)
         # stride-1 3x3 convs go through the frequency-packed path (exact
         # math; the 64-channel blocks underfill the MXU otherwise);
         # freq-strided convs can't freq-pack but their stride-1 time axis
@@ -298,6 +317,14 @@ class ResNetConformer(nn.Module):
     # regresses.  ADYOLO_TIME_PACK=0 (read at import, for fresh-process
     # A/B benching) flips the default off.
     time_pack: bool = os.environ.get("ADYOLO_TIME_PACK", "1") != "0"
+    # packed-resident stage interiors (same trick as
+    # SEResNet34.packed_stages): after a stage's strided entry block, the
+    # stride-1 channel-preserving blocks run on one (B, T, F/p, p*C)
+    # layout — per-conv pack/unpack relayouts collapse to one pack per
+    # stage.  Only layer1 qualifies (C=64, F=16 -> pack 2); OFF until
+    # TPU-measured (ADYOLO_CONF_PACKED=1 to enable / A/B)
+    conf_packed_stages: bool = os.environ.get("ADYOLO_CONF_PACKED",
+                                              "0") == "1"
     # jax.checkpoint each conformer block (cfg.train.remat / --remat):
     # backward recomputes the block instead of keeping its activations —
     # ~num_layers x less transformer activation memory for ~1/3 more
@@ -335,11 +362,22 @@ class ResNetConformer(nn.Module):
         # stages: 3/4/5/3 blocks, freq-only stride 2 at each stage entry
         for stage, (n_blocks, planes) in enumerate(
                 zip((3, 4, 5, 3), (64, 128, 256, 512))):
+            cur_pack = 1
             for b in range(n_blocks):
+                if b == 1 and self.conf_packed_stages:
+                    # stage interior: stride-1, channel-preserving blocks
+                    # share one packed layout (entry block ran unpacked —
+                    # its freq stride crosses pack boundaries)
+                    cur_pack = best_pack(planes, x.shape[2])
+                    if cur_pack > 1:
+                        x = pack_x(x, cur_pack)
                 x = TVBasicBlock(planes, f_stride=2 if b == 0 else 1,
-                                 time_pack=self.time_pack, dtype=self.dtype,
+                                 time_pack=self.time_pack, pack=cur_pack,
+                                 dtype=self.dtype,
                                  name=f"layer{stage + 1}_block{b}")(
                     x, train, frame_mask)
+            if cur_pack > 1:
+                x = unpack_x(x, cur_pack)
         # (B, T, F=1, 512) -> (B, T, 512)
         x = x.reshape(x.shape[0], x.shape[1], -1)
 

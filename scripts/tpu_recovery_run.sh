@@ -28,4 +28,7 @@ timeout 1800 python scripts/prof_step.py \
 # fused MHSA kernel: exactness + PRNG stats + microbench
 timeout 1800 python scripts/flash_check.py \
                                      > /tmp/tpu_recovery/flash_check.log 2>&1
+# packed-resident conformer layer1 interior (default OFF until this run)
+ADYOLO_CONF_PACKED=1 timeout 1800 python bench.py --config train-conformer-bf16 \
+                                     > /tmp/tpu_recovery/ab_confpacked.log 2>&1
 tail -n 40 /tmp/tpu_recovery/*.log

@@ -114,3 +114,47 @@ def test_remat_exactness():
     g1 = jax.grad(lambda p: loss(m1, p))(vs["params"])
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_conf_packed_stages_exactness():
+    """Packed-resident layer1 interior (ADYOLO_CONF_PACKED=1) must be
+    numerically equivalent to the per-conv path and leave the param tree
+    unchanged (checkpoint compatibility)."""
+    from adyolo_tpu.models.resnet_conformer import ResNetConformer
+
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (1, 16, 64, 7)).astype(np.float32))
+    m0 = ResNetConformer(num_layers=1, conf_packed_stages=False)
+    m1 = ResNetConformer(num_layers=1, conf_packed_stages=True)
+    vs = m0.init({"params": jax.random.PRNGKey(0)}, x, False)
+    vs1 = m1.init({"params": jax.random.PRNGKey(0)}, x, False)
+    assert (jax.tree.structure(vs["params"])
+            == jax.tree.structure(vs1["params"]))
+    for a, b in zip(jax.tree.leaves(vs["params"]),
+                    jax.tree.leaves(vs1["params"])):
+        assert a.shape == b.shape
+
+    o0 = m0.apply(vs, x, False)
+    o1 = m1.apply(vs, x, False)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-5,
+                               rtol=1e-5)
+
+    # masked variable-length input follows the same path
+    lens = jnp.array([12])
+    o0m = m0.apply(vs, x, False, feat_lengths=lens)
+    o1m = m1.apply(vs, x, False, feat_lengths=lens)
+    np.testing.assert_allclose(np.asarray(o0m), np.asarray(o1m), atol=2e-5,
+                               rtol=1e-5)
+
+    # train mode: batch_stats updates must agree (BN combines per-copy
+    # moments exactly in packed layout)
+    o0t, mut0 = m0.apply(vs, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    o1t, mut1 = m1.apply(vs, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    for a, b in zip(jax.tree.leaves(mut0["batch_stats"]),
+                    jax.tree.leaves(mut1["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o0t), np.asarray(o1t), atol=2e-4,
+                               rtol=1e-4)
