@@ -62,9 +62,11 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
 
     spec = jax.ShapeDtypeStruct((batch_size, n, n_ch), jnp.float32)
     if platforms is None:
-        from jax import export as jexport
-
-        platforms = (jexport.default_export_platform(),)
+        # multi-platform artifact: lowers once per platform so the same
+        # file serves on a TPU pod and on a CPU fallback host (the whole
+        # program is stock StableHLO — no platform-specific custom calls
+        # in the f32 eval path)
+        platforms = ("tpu", "cpu")
     exp = jax.export.export(jax.jit(fwd), platforms=list(platforms))(spec)
 
     os.makedirs(out_dir, exist_ok=True)

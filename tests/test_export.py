@@ -31,6 +31,8 @@ def test_export_roundtrip(tmp_path):
     assert meta["input_shape"] == [1, n, 4]
     assert meta["confidence_thresh"] == 0.35
     assert meta["loss_format"] == "adyolo"
+    # one artifact serves both the TPU pod and a CPU fallback host
+    assert meta["platforms"] == ["tpu", "cpu"]
 
     call, meta2 = load_exported(out_dir)
     rng = np.random.default_rng(0)
