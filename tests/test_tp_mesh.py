@@ -107,3 +107,35 @@ def test_model_parallel_cli_flag():
     cfg = build_config({"dataset": "DCASE2022", "model_parallel": 2})
     assert cfg.mesh.model_parallel == 2
     assert build_config({"dataset": "DCASE2022"}).mesh.model_parallel == 1
+
+
+@pytest.mark.slow
+def test_engine_quick_train_with_tp(tmp_path):
+    """Engine-level integration of --model_parallel 2: mesh build,
+    TP-sharded train step, checkpointing of sharded state, and the eval
+    sweep with sharded params, end-to-end through train_model."""
+    import os
+
+    from adyolo_tpu.engine.train import train_model
+    from tests.synth_data import make_synth_dataset
+
+    root = make_synth_dataset(str(tmp_path / "data"), n_train=4, n_val=1,
+                              n_test=1, chunk_window_s=4, eval_secs=6)
+    results = str(tmp_path / "results")
+    args = {
+        "action": "train", "dataset": "DCASE2022",
+        "encoder": "resnet-conformer", "loss": "adyolo", "seed": 100,
+        "augment": False, "fix_thresh": True, "logger": False,
+        "quick_test": True, "eval_pth": None, "resume_pth": None,
+        "infer_pth": None, "results_dir": results, "batch_size": 4,
+        "nb_iters": 1, "exp_id": "exp-tp", "nb_epochs": 1,
+        "model_parallel": 2,
+    }
+    train_model(args, cfg_overrides={
+        "data": {"data_pth": root,
+                 "name_pth": os.path.join(root, "classes.txt"),
+                 "chunk_window_s": 4},
+    })
+    exp = os.path.join(results, "exp-tp")
+    assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
+    assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
