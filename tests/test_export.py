@@ -54,3 +54,51 @@ def test_export_cli_action_parses():
     args = build_parser().parse_args(["export", "--eval_pth", "some-exp"])
     assert args.action == "export"
     assert args.eval_pth == "some-exp"
+
+
+def test_export_decode_loop(tmp_path):
+    """Full serving loop: artifact output -> PostProcessor built from the
+    bundled frozen config decodes identically to the live pipeline."""
+    from adyolo_tpu.config import load_config, save_config
+    from adyolo_tpu.ops.decode import PostProcessor
+
+    cfg = Config()
+    frozen = str(tmp_path / "hyp_exp.yaml")
+    save_config(cfg, frozen)
+    frontend = make_frontend(cfg)
+    model = build_model(cfg, compute_dtype="float32")
+    secs = 2
+    n = secs * cfg.data.sr
+    feat_shape = (1, n // cfg.data.hop_length, cfg.data.mel_bins,
+                  cfg.data.nb_feature_channels)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(feat_shape, jnp.float32), False)
+    out_dir = export_model(cfg, variables, frontend, str(tmp_path / "art"),
+                           batch_size=1, seconds=secs, conf_thresh=0.2,
+                           frozen_cfg_path=frozen)
+    call, meta = load_exported(out_dir)
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal((1, n, 4)) * 0.3).astype(np.float32)
+    served = call(audio)
+
+    cfg2 = load_config(os.path.join(out_dir, "hyp_exp.yaml"))
+    pp = PostProcessor(cfg2)
+    pp.set_conf_thresh(meta["confidence_thresh"])
+    events_served = pp.postprocess(jnp.asarray(served))
+
+    with jax.default_matmul_precision("float32"):
+        feat = frontend._forward(jnp.asarray(audio), None,
+                                 frontend._mel_mean, frontend._mel_std,
+                                 frontend._aux_mean, frontend._aux_std)
+        live = model.apply(variables, feat, False)
+    pp_live = PostProcessor(cfg)
+    pp_live.set_conf_thresh(meta["confidence_thresh"])
+    events_live = pp_live.postprocess(live)
+    # the artifact is one fused program vs the live path's two jits —
+    # fusion changes f32 rounding in the last digits, so compare events
+    # numerically (same frames, same event count, same values to 1e-4)
+    assert set(events_served) == set(events_live)
+    for fr in events_served:
+        a, b = np.asarray(events_served[fr]), np.asarray(events_live[fr])
+        assert a.shape == b.shape, fr
+        np.testing.assert_allclose(a, b, atol=1e-4)
