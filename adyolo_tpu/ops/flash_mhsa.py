@@ -87,30 +87,33 @@ def _attend(q, k, maskf, seed, lane, *, scale, thresh, interpret):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref,
-                *, scale, thresh, nq, heads, interpret):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    lane = (b * heads + h) * nq + qi
-    p, keep = _attend(q_ref[0, :, 0, :], k_ref[0, :, 0, :], m_ref[0, :],
+                *, scale, thresh, nq, interpret):
+    # q/k/v arrive head-folded as (B*H, T, dh): Mosaic requires the last
+    # two block dims to be (8k, 128k) or span the array, which a
+    # (..., 1, dh) per-head block violates — 3-D (1, bq, dh) blocks comply
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    lane = bh * nq + qi
+    p, keep = _attend(q_ref[0], k_ref[0], m_ref[0, 0, :],
                       seed_ref[0], lane, scale=scale, thresh=thresh,
                       interpret=interpret)
     if keep is not None:
         p = jnp.where(keep, p * (256.0 / (256.0 - thresh)), 0.0)
     p = p.astype(v_ref.dtype)
-    o_ref[0, :, 0, :] = jax.lax.dot_general(
-        p, v_ref[0, :, 0, :], (((1,), (0,)), ((), ())),
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, thresh, nq, heads,
+                dq_ref, dk_ref, dv_ref, *, scale, thresh, nq,
                 interpret):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    lane = (b * heads + h) * nq + qi
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
-    p, keep = _attend(q, k, m_ref[0, :], seed_ref[0], lane,
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    lane = bh * nq + qi
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    p, keep = _attend(q, k, m_ref[0, 0, :], seed_ref[0], lane,
                       scale=scale, thresh=thresh, interpret=interpret)
 
     # ctx = drop(p) @ v; dpd = do @ v^T; dp = dpd o keep*kscale;
@@ -128,36 +131,39 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, do_ref,
     ds = (ds * scale).astype(q.dtype)
     pd = pd.astype(v.dtype)
 
-    dq_ref[0, :, 0, :] = jax.lax.dot_general(
+    dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
     @pl.when(qi == 0)
     def _():
-        dk_ref[0, :, 0, :] = jnp.zeros_like(dk_ref[0, :, 0, :])
-        dv_ref[0, :, 0, :] = jnp.zeros_like(dv_ref[0, :, 0, :])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0, :, 0, :] += jax.lax.dot_general(
+    dk_ref[0] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dv_ref[0, :, 0, :] += jax.lax.dot_general(
+    dv_ref[0] += jax.lax.dot_general(
         pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _pick_bq(T: int) -> int:
-    for c in (512, 400, 256, 200, 160, 128, 100, 80, 64, 40, 32, 16, 8):
+    # candidates are multiples of 8 (Mosaic sublane constraint)
+    for c in (512, 400, 256, 200, 160, 128, 80, 64, 40, 32, 16, 8):
         if T % c == 0:
             return min(c, T)
     return T
 
 
-def _specs(B, T, Tp, H, dh, bq):
+def _specs(BH, T, Tp, dh, bq):
     nq = T // bq
-    grid = (B, H, nq)
-    qspec = pl.BlockSpec((1, bq, 1, dh), lambda b, h, qi, *_: (b, qi, h, 0),
+    grid = (BH, nq)
+    qspec = pl.BlockSpec((1, bq, dh), lambda bh, qi, *_: (bh, qi, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, Tp, 1, dh), lambda b, h, qi, *_: (b, 0, h, 0),
+    kvspec = pl.BlockSpec((1, Tp, dh), lambda bh, qi, *_: (bh, 0, 0),
                           memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, Tp), lambda b, h, qi, *_: (b, 0),
+    # mask is (BH, 1, Tp) so the block's trailing (1, Tp) dims span the
+    # array dims exactly (Mosaic last-two-dims rule)
+    mspec = pl.BlockSpec((1, 1, Tp), lambda bh, qi, *_: (bh, 0, 0),
                          memory_space=pltpu.VMEM)
     return grid, nq, qspec, kvspec, mspec
 
@@ -168,19 +174,19 @@ def _flash(q, k, v, maskf, seed, thresh, bq, interpret):
 
 
 def _flash_fwd(q, k, v, maskf, seed, thresh, bq, interpret):
-    B, T, H, dh = q.shape
+    BH, T, dh = q.shape
     Tp = k.shape[1]
-    grid, nq, qspec, kvspec, mspec = _specs(B, T, Tp, H, dh, bq)
+    grid, nq, qspec, kvspec, mspec = _specs(BH, T, Tp, dh, bq)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=dh ** -0.5, thresh=thresh,
-                          nq=nq, heads=H, interpret=bool(interpret)),
+                          nq=nq, interpret=bool(interpret)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[qspec, kvspec, kvspec, mspec],
-            out_specs=pl.BlockSpec((1, bq, 1, dh),
-                                   lambda b, h, qi, *_: (b, qi, h, 0),
+            out_specs=pl.BlockSpec((1, bq, dh),
+                                   lambda bh, qi, *_: (bh, qi, 0),
                                    memory_space=pltpu.VMEM)),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, T, dh), q.dtype),
         interpret=_interp(interpret),
     )(seed, q, k, v, maskf)
     return out, (q, k, v, maskf, seed)
@@ -188,25 +194,25 @@ def _flash_fwd(q, k, v, maskf, seed, thresh, bq, interpret):
 
 def _flash_bwd(thresh, bq, interpret, res, do):
     q, k, v, maskf, seed = res
-    B, T, H, dh = q.shape
+    BH, T, dh = q.shape
     Tp = k.shape[1]
-    grid, nq, qspec, kvspec, mspec = _specs(B, T, Tp, H, dh, bq)
-    dkv_spec = pl.BlockSpec((1, Tp, 1, dh), lambda b, h, qi, *_: (b, 0, h, 0),
+    grid, nq, qspec, kvspec, mspec = _specs(BH, T, Tp, dh, bq)
+    dkv_spec = pl.BlockSpec((1, Tp, dh), lambda bh, qi, *_: (bh, 0, 0),
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=dh ** -0.5, thresh=thresh,
-                          nq=nq, heads=H, interpret=bool(interpret)),
+                          nq=nq, interpret=bool(interpret)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[qspec, kvspec, kvspec, mspec, qspec],
             out_specs=(
-                pl.BlockSpec((1, bq, 1, dh), lambda b, h, qi, *_: (b, qi, h, 0),
+                pl.BlockSpec((1, bq, dh), lambda bh, qi, *_: (bh, qi, 0),
                              memory_space=pltpu.VMEM),
                 dkv_spec, dkv_spec)),
-        out_shape=(jax.ShapeDtypeStruct((B, T, H, dh), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((BH, T, dh), q.dtype),
                    # dk/dv accumulate across query blocks in f32
-                   jax.ShapeDtypeStruct((B, Tp, H, dh), jnp.float32),
-                   jax.ShapeDtypeStruct((B, Tp, H, dh), jnp.float32)),
+                   jax.ShapeDtypeStruct((BH, Tp, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Tp, dh), jnp.float32)),
         interpret=_interp(interpret),
     )(seed, q, k, v, maskf, do)
     import numpy as np
@@ -241,17 +247,29 @@ def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array,
     bq = bq or _pick_bq(T)
     assert T % bq == 0, (T, bq)
     Tp = -(-T // 128) * 128
-    if Tp != T:
-        pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+
+    # fold heads into the batch axis: Mosaic's last-two-block-dims rule
+    # makes (1, bq, dh) blocks over (B*H, T, dh) legal where per-head 4-D
+    # blocks are not; the transposes fuse into the surrounding Dense ops
+    def fold(x, Tpad):
+        x = x.swapaxes(1, 2).reshape(B * H, T, dh)
+        if Tpad != T:
+            x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+        return x
+
+    kf = fold(k, Tp)
+    vf = fold(v, Tp)
+    qf = fold(q, T)
     if frame_mask is None:
         maskf = (jnp.arange(Tp)[None, :] < T).astype(jnp.float32)
         maskf = jnp.broadcast_to(maskf, (B, Tp))
     else:
         maskf = jnp.pad(frame_mask.astype(jnp.float32),
                         ((0, 0), (0, Tp - T)))
-    return _flash(q, k, v, maskf, seed, thresh, bq, interpret)
+    maskf = jnp.broadcast_to(maskf[:, None, None, :],
+                             (B, H, 1, Tp)).reshape(B * H, 1, Tp)
+    out = _flash(qf, kf, vf, maskf, seed, thresh, bq, interpret)
+    return out.reshape(B, H, T, dh).swapaxes(1, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +287,7 @@ def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
                  acc_ref, mx_ref, l_ref, *, scale, nkv):
-    kvi = pl.program_id(3)
+    kvi = pl.program_id(2)
 
     @pl.when(kvi == 0)
     def _():
@@ -278,9 +296,9 @@ def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref[:])
 
     s = jax.lax.dot_general(
-        q_ref[0, :, 0, :], k_ref[0, :, 0, :], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    maskb = m_ref[0, :][None, :] != 0
+    maskb = m_ref[0, 0, :][None, :] != 0
     s = jnp.where(maskb, s, _NEG)
     m_old = mx_ref[:, :1]                       # (bq, 1)
     m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
@@ -290,7 +308,7 @@ def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
     alpha = jnp.exp(m_old - m_new)              # (bq, 1)
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, :, 0, :], (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     mx_ref[:] = jnp.broadcast_to(m_new, mx_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -302,7 +320,7 @@ def _long_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
         # average there; either value is masked downstream — finiteness is
         # what matters so the NaN can't poison later residuals/LayerNorms)
         l = l_ref[:, :1]
-        o_ref[0, :, 0, :] = jnp.where(
+        o_ref[0] = jnp.where(
             l > 0, acc_ref[:] / jnp.maximum(l, 1.0e-30), 0.0
         ).astype(o_ref.dtype)
 
@@ -318,39 +336,47 @@ def flash_mhsa_long(q: jax.Array, k: jax.Array, v: jax.Array,
     bq = bq or _pick_bq(T)
     assert T % bq == 0, (T, bq)
     Tp = -(-T // bkv) * bkv
-    if Tp != T:
-        pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+
+    def fold(x, Tpad):
+        x = x.swapaxes(1, 2).reshape(B * H, T, dh)
+        if Tpad != T:
+            x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+        return x
+
+    kf = fold(k, Tp)
+    vf = fold(v, Tp)
+    qf = fold(q, T)
     if frame_mask is None:
         maskf = jnp.broadcast_to(
             (jnp.arange(Tp)[None, :] < T).astype(jnp.float32), (B, Tp))
     else:
         maskf = jnp.pad(frame_mask.astype(jnp.float32),
                         ((0, 0), (0, Tp - T)))
+    maskf = jnp.broadcast_to(maskf[:, None, None, :],
+                             (B, H, 1, Tp)).reshape(B * H, 1, Tp)
     nq, nkv = T // bq, Tp // bkv
     out = pl.pallas_call(
         functools.partial(_long_kernel, scale=dh ** -0.5, nkv=nkv),
-        grid=(B, H, nq, nkv),
+        grid=(B * H, nq, nkv),
         in_specs=[
-            pl.BlockSpec((1, bq, 1, dh), lambda b, h, qi, kvi: (b, qi, h, 0),
+            pl.BlockSpec((1, bq, dh), lambda bh, qi, kvi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, 1, dh), lambda b, h, qi, kvi: (b, kvi, h, 0),
+            pl.BlockSpec((1, bkv, dh), lambda bh, qi, kvi: (bh, kvi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, 1, dh), lambda b, h, qi, kvi: (b, kvi, h, 0),
+            pl.BlockSpec((1, bkv, dh), lambda bh, qi, kvi: (bh, kvi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv), lambda b, h, qi, kvi: (b, kvi),
+            pl.BlockSpec((1, 1, bkv), lambda bh, qi, kvi: (bh, 0, kvi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, dh),
-                               lambda b, h, qi, kvi: (b, qi, h, 0),
+        out_specs=pl.BlockSpec((1, bq, dh),
+                               lambda bh, qi, kvi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, dh), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, dh), jnp.float32),    # unnormalized accumulator
             pltpu.VMEM((bq, 128), jnp.float32),   # running row max
             pltpu.VMEM((bq, 128), jnp.float32),   # running row sum
         ],
         interpret=_interp(interpret),
-    )(q, k, v, maskf)
-    return out
+    )(qf, kf, vf, maskf)
+    return out.reshape(B, H, T, dh).swapaxes(1, 2)

@@ -235,3 +235,29 @@ def test_tp_rejects_flash_env(monkeypatch):
     mesh = make_mesh(cfg.mesh, batch_size=8)
     with pytest.raises(ValueError, match="ADYOLO_FLASH_MHSA"):
         build_train_step(cfg, model, frontend, mesh)
+
+
+def test_tpu_lowering_from_cpu():
+    """Mosaic validates block shapes/layouts at LOWERING time, so the TPU
+    kernel structure can be regression-checked from the CPU host (this
+    caught the original per-head 4-D blocks violating the
+    last-two-dims-(8k,128k) rule).  Runtime perf still needs the chip."""
+    from adyolo_tpu.ops.flash_mhsa import flash_mhsa, flash_mhsa_long
+
+    B, T, H, dh = 4, 800, 4, 64
+    q = jnp.zeros((B, T, H, dh), jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    mask = jnp.arange(T)[None, :] < T - 100
+
+    def train_fn(a, b, c):
+        return flash_mhsa(a, b, c, mask, rate=0.2, rng_key=key)
+
+    def grad_fn(a, b, c):
+        return jax.grad(lambda x, y, z: jnp.sum(
+            train_fn(x, y, z).astype(jnp.float32)), argnums=(0, 1, 2))(a, b, c)
+
+    qe = jnp.zeros((1, 4000, H, dh), jnp.float32)
+    for fn, args in ((train_fn, (q, q, q)), (grad_fn, (q, q, q)),
+                     (lambda a, b, c: flash_mhsa_long(a, b, c), (qe, qe, qe))):
+        low = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+        assert "tpu_custom_call" in low.as_text()
