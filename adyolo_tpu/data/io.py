@@ -13,18 +13,59 @@ soundfile/librosa):
 """
 from __future__ import annotations
 
+import ctypes
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import scipy.io.wavfile as _wav
 
 LabelDict = Dict[int, List[List[float]]]
 
+_wavlib = None
+_wavlib_tried = False
+
+
+def _native_wav() -> Optional[ctypes.CDLL]:
+    """The bundled C++ PCM16 reader (native/wavload.cpp).  ctypes drops
+    the GIL around the call, so the train loader's clip thread pool
+    (dataset._assemble_batch) decodes wavs truly in parallel — the
+    analog of the reference's DataLoader worker *processes*
+    (src/train.py:125-129).  None -> scipy fallback (also the oracle)."""
+    global _wavlib, _wavlib_tried
+    if not _wavlib_tried:
+        _wavlib_tried = True
+        from ..utils.native import load_or_build
+
+        lib = load_or_build("wavload")
+        if lib is not None:
+            lib.wav_info_i16.restype = ctypes.c_long
+            lib.wav_info_i16.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.wav_read_i16.restype = ctypes.c_int
+            lib.wav_read_i16.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_int]
+        _wavlib = lib
+    return _wavlib
+
 
 def read_wav(path: str) -> np.ndarray:
     """Returns raw audio as stored, shape (N, C).  int16 files stay int16
     (normalization is the caller's job, matching src/datasets.py:140-147)."""
+    lib = _native_wav()
+    if lib is not None:
+        p = path.encode()
+        n_ch = ctypes.c_int(0)
+        sr = ctypes.c_int(0)
+        frames = lib.wav_info_i16(p, ctypes.byref(n_ch), ctypes.byref(sr))
+        if frames >= 0:
+            out = np.empty((frames, n_ch.value), np.int16)
+            if lib.wav_read_i16(p, out.ctypes.data_as(ctypes.c_void_p),
+                                frames, n_ch.value) == 0:
+                return out
+        # negative codes (non-PCM16/malformed) fall through to scipy
     _, audio = _wav.read(path)
     if audio.ndim == 1:
         audio = audio[:, None]
