@@ -98,10 +98,23 @@ _TP_RULES = {
     ("linear", "kernel"): "row",
     ("Dense_0", "kernel"): "col", ("Dense_0", "bias"): "vec",
     ("Dense_1", "kernel"): "row",
+    # conformer conv module: pw1 column-parallel puts each GLU half
+    # wholly on one shard (the a*sigmoid(b) gate costs one regather,
+    # inserted by GSPMD); the depthwise conv and bn2 stay channel-sharded
+    # and pw2 closes row-parallel with a psum
+    ("conv", "dw_kernel"): "col", ("conv", "dw_bias"): "vec",
+    ("pw1", "kernel"): "col", ("pw1", "bias"): "vec",
+    ("bn1", "scale"): "vec", ("bn1", "bias"): "vec",
+    ("bn2", "scale"): "vec", ("bn2", "bias"): "vec",
+    ("bn1", "mean"): "vec", ("bn1", "var"): "vec",
+    ("bn2", "mean"): "vec", ("bn2", "var"): "vec",
+    ("pw2", "kernel"): "row",
 }
 # rules only fire inside these module scopes (SE-ResNet's attention-pool
-# 'W' or a head Dense must not match by accident)
-_TP_SCOPES = ("mhsa", "ffn")
+# 'W', the ResNet-block bn1/bn2, or a head Dense must not match by
+# accident — 'conv' only matches the conformer blocks' conv module
+# because the scope test requires an enclosing conformer/mhsa/ffn name)
+_TP_SCOPES = ("mhsa", "ffn", "conformer")
 
 
 def _tp_spec(path_keys, leaf, axis: str, tp: int):

@@ -34,9 +34,13 @@ def test_tp_specs_shard_only_ffn_and_mhsa():
     assert any("mhsa/query/kernel" in s for s in sharded)
     assert any("ffn1/Dense_0/kernel" in s for s in sharded)
     assert any("ffn2/Dense_1/kernel" in s for s in sharded)
-    # nothing outside the scoped modules may shard
+    assert any("conv/pw1/kernel" in s for s in sharded)
+    assert any("conv/dw_kernel" in s for s in sharded)
+    # nothing outside the scoped conformer modules may shard (the ResNet
+    # front, heads, norms at block boundaries stay replicated)
     for s in sharded:
-        assert "mhsa" in s or "ffn" in s, s
+        assert "mhsa" in s or "ffn" in s or "/conv/" in s, s
+        assert "conformer" in s, s
     # optimizer moments mirror the param specs
     mu_flat = jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]
     mu_sharded = ["/".join(getattr(k, "key", getattr(k, "name", str(k)))
