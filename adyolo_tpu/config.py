@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from dataclasses import dataclass, field, replace
 from typing import Any, Dict, Optional, Tuple
 
@@ -257,12 +258,50 @@ def _dataclass_from(cls, d: Dict[str, Any]):
     return cls(**kwargs)
 
 
+def _harvest_comments(config_dir: Optional[str], dataset: str
+                      ) -> Dict[str, Dict[str, str]]:
+    """Per-section ``{field: '# comment'}`` scraped from the preset files.
+
+    The reference freezes ``hyp_exp.yaml`` through a ruamel round-trip so
+    the preset files' inline comments survive into the experiment artifact
+    (``config_writer``, utility.py:84-90).  ruamel isn't in this image, so
+    the same effect comes from harvesting each top-level ``key: value
+    # comment`` line out of the preset YAMLs and re-attaching it at dump
+    time.  Top-level keys only — nested blocks (loss_gains) keep the
+    plain dump.
+    """
+    out: Dict[str, Dict[str, str]] = {}
+    if not config_dir or not os.path.isdir(config_dir):
+        return out
+    files = {
+        "data": f"hyp_data_{dataset}.yaml",
+        "aug": "hyp_augmentation.yaml",
+        "train": "hyp_train.yaml",
+    }
+    pat = re.compile(r"^(\w+):.*?(#.*)$")
+    for sec, fname in files.items():
+        p = os.path.join(config_dir, fname)
+        if not os.path.isfile(p):
+            continue
+        fields: Dict[str, str] = {}
+        with open(p, "r") as f:
+            for line in f:
+                m = pat.match(line.rstrip())
+                if m:
+                    fields[m.group(1)] = m.group(2).rstrip()
+        if fields:
+            out[sec] = fields
+    return out
+
+
 def config_to_yaml(cfg: Config) -> str:
     """Serialize the frozen experiment config.
 
-    The reference separates the top-level sections with blank lines via
-    ruamel (``config_writer``, utility.py:84-90); here each section also
-    gets a header comment — same human-editable intent, stdlib yaml only.
+    The reference separates the top-level sections with blank lines and
+    preserves preset-file comments via ruamel (``config_writer``,
+    utility.py:84-90); here each section gets a header comment and the
+    preset files' inline field comments are re-attached (stdlib yaml +
+    :func:`_harvest_comments`).
     """
     titles = {
         "args": "CLI arguments (reference src/main.py:36-56)",
@@ -271,10 +310,21 @@ def config_to_yaml(cfg: Config) -> str:
         "train": "training hyperparameters (reference configs/hyp_train.yaml)",
         "mesh": "device-mesh layout (TPU addition; no reference counterpart)",
     }
+    comments = _harvest_comments(cfg.args.config_dir, cfg.args.dataset)
+    field_pat = re.compile(r"^  (\w+):")
     parts = []
     for key, val in _asdict(cfg).items():
-        parts.append(f"# ---- {titles.get(key, key)}\n"
-                     + yaml.safe_dump({key: val}, sort_keys=False))
+        body = yaml.safe_dump({key: val}, sort_keys=False)
+        sec = comments.get(key)
+        if sec:
+            lines = []
+            for ln in body.splitlines():
+                m = field_pat.match(ln)
+                if m and m.group(1) in sec and "#" not in ln:
+                    ln = f"{ln}    {sec[m.group(1)]}"
+                lines.append(ln)
+            body = "\n".join(lines) + "\n"
+        parts.append(f"# ---- {titles.get(key, key)}\n" + body)
     return "\n".join(parts)
 
 

@@ -52,9 +52,10 @@ def preprocess_chunking(cfg: DataConfig, verbose: bool = True) -> int:
     """Run chunking over the dataset's ``dev-train`` split
     (preprocess.py:51-84).  Returns the number of chunks written."""
     sub = f"dev-train-chunked_{cfg.chunk_window_s}s_{cfg.chunk_stride_s}s"
-    wav_dir = os.path.join(cfg.data_pth, "foa_dev", "dev-train")
+    fmt_dev = f"{cfg.audio_format}_dev"  # foa_dev / mic_dev, like dataset.py
+    wav_dir = os.path.join(cfg.data_pth, fmt_dev, "dev-train")
     csv_dir = os.path.join(cfg.data_pth, "metadata_dev", "dev-train")
-    wav_out = os.path.join(cfg.data_pth, "foa_dev", sub)
+    wav_out = os.path.join(cfg.data_pth, fmt_dev, sub)
     csv_out = os.path.join(cfg.data_pth, "metadata_dev", sub)
     os.makedirs(wav_out, exist_ok=True)
     os.makedirs(csv_out, exist_ok=True)

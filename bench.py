@@ -8,11 +8,18 @@ Default output (one JSON line each, emitted as soon as measured):
   * full forward-backward train step, batch 32 (f32 and bf16 compute)
   * ResNet-Conformer train step, batch 32, bf16
 
-``--all`` additionally benchmarks the remaining BASELINE.json configs:
+``--all`` additionally benchmarks the A/B variant lines (one optimization
+toggled via env each — see ``AB_CONFIGS``/``CONFIG_ENV``) and the
+remaining BASELINE.json configs:
   1. single-clip infer latency (features+forward+decode, batch=1)
   2. offline preprocessing feature kernels (scaler-stats pass)
   3. MIC-array GCC-PHAT inference path
   4. multi-format eval forward (accdoa vs adyolo heads)
+
+Budgeting: ``ADYOLO_BENCH_TIMEOUT`` caps each config subprocess
+(default 1500 s); ``ADYOLO_BENCH_BUDGET`` (seconds) optionally caps the
+whole run — remaining configs are recorded as skipped, the process still
+exits 0 with every measured line emitted.
 
 Fault tolerance (two levels):
   * in-process: each config runs under a retry wrapper (3 attempts,
@@ -63,14 +70,16 @@ def _emit(metric, value, unit, vs_baseline=None, flops=None, dt=None):
 _ERRORS = []
 _ONLY = None  # --config NAME: run a single config (subprocess worker mode)
 
+# The four judged lines only — the r3 driver artifact (BENCH_r03) hit
+# rc=124 because the default list had grown to 7 configs; A/B variant
+# lines live behind --all now (their r3/r4 decisions are recorded in
+# PLAN.md "Round 4 — A/B decisions").
 DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
-                   "train-conformer-bf16",
-                   # A/B lines for the defaults that landed while the chip
-                   # lease was wedged (r3): same benches with one
-                   # optimization disabled via env, so the driver artifact
-                   # itself decides whether each default stays on
-                   "train-bf16-nopack", "train-conformer-bf16-flash",
-                   "train-conformer-bf16-notimepack")
+                   "train-conformer-bf16")
+# A/B lines: same benches with one optimization toggled via env, so a
+# driver artifact can re-decide any default without code changes
+AB_CONFIGS = ("train-bf16-nopack", "train-conformer-bf16-flash",
+              "train-conformer-bf16-notimepack")
 # env overrides per A/B config; applied in the worker process before any
 # adyolo/jax import (the flags are read at import time)
 CONFIG_ENV = {
@@ -80,8 +89,9 @@ CONFIG_ENV = {
     "train-conformer-bf16-flash": {"ADYOLO_FLASH_MHSA": "auto"},
     "train-conformer-bf16-notimepack": {"ADYOLO_TIME_PACK": "0"},
 }
-ALL_CONFIGS = DEFAULT_CONFIGS + ("infer-latency", "scaler-pass", "mic-gcc",
-                                 "eval-fwd-accdoa", "eval-fwd-adyolo")
+ALL_CONFIGS = DEFAULT_CONFIGS + AB_CONFIGS + (
+    "infer-latency", "scaler-pass", "mic-gcc",
+    "eval-fwd-accdoa", "eval-fwd-adyolo")
 
 
 def _run_config(name, fn, attempts=3):
@@ -345,6 +355,16 @@ def _orchestrate() -> None:
 
     run_all = "--all" in sys.argv
     names = ALL_CONFIGS if run_all else DEFAULT_CONFIGS
+    # per-config cap: a healthy config finishes in <=7 min incl. one
+    # retry; 1500 s covers a cold-cache compile without letting one
+    # wedged config eat the whole driver budget (BENCH_r03 died at
+    # rc=124 with 2400 s caps).  Overridable for long local sweeps.
+    cfg_timeout = int(os.environ.get("ADYOLO_BENCH_TIMEOUT", "1500"))
+    # optional overall wall-clock budget (seconds): remaining configs are
+    # recorded as skipped once exceeded, so the artifact always ends with
+    # rc=0 and a complete accounting instead of a driver kill mid-line
+    budget = float(os.environ.get("ADYOLO_BENCH_BUDGET", "0")) or None
+    t_start = time.perf_counter()
     errors = []
     wedged = False
     for name in names:
@@ -352,12 +372,16 @@ def _orchestrate() -> None:
             errors.append({"config": name,
                            "error": "skipped: chip-lease wedge in effect"})
             continue
+        if budget is not None and time.perf_counter() - t_start > budget:
+            errors.append({"config": name,
+                           "error": "skipped: bench budget exhausted"})
+            continue
         for attempt in range(2):
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--config", name],
-                    capture_output=True, text=True, timeout=2400)
+                    capture_output=True, text=True, timeout=cfg_timeout)
             except subprocess.TimeoutExpired:
                 # a 40-min hang is the chip-lease wedge (a killed axon
                 # client leaves the remote grant held and every new
@@ -366,7 +390,7 @@ def _orchestrate() -> None:
                 # jax.devices() hangs, skip the remaining configs rather
                 # than burning 40 min on each; otherwise move on to give
                 # later configs a chance.
-                err = "timeout after 2400 s (chip-lease wedge?)"
+                err = f"timeout after {cfg_timeout} s (chip-lease wedge?)"
                 sys.stderr.write(f"[bench] {name}: {err}\n")
                 errors.append({"config": name, "error": err})
                 if not chip_alive():

@@ -16,6 +16,10 @@ executed as an actual multi-process run.  This script runs them for real:
   ``_broadcast_str`` and the preemption-guard all-gather.
 
 Run:  python scripts/multihost_smoke.py        (takes ~2-4 min on CPU)
+      python scripts/multihost_smoke.py --tp   (adds the TP x multi-host
+      composition: 2 processes x (data=2, model=2) on the conformer — the
+      Megatron PartitionSpecs under real ``jax.distributed``, losses
+      compared against a single-process (2,2) run of the same batch)
 """
 from __future__ import annotations
 
@@ -29,12 +33,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_GLOBAL = 8
+N_GLOBAL_TP = 4  # --tp: (data=2, model=2), 2 devices per process
 SECS = 2
 PORT = 45677
 
 
-def child(rank: int, nprocs: int, single: bool) -> None:
-    n_local = N_GLOBAL if single else N_GLOBAL // nprocs
+def child(rank: int, nprocs: int, single: bool, tp: bool = False) -> None:
+    n_global = N_GLOBAL_TP if tp else N_GLOBAL
+    n_local = n_global if single else n_global // nprocs
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_local}")
@@ -45,13 +51,13 @@ def child(rank: int, nprocs: int, single: bool) -> None:
         jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
                                    num_processes=nprocs, process_id=rank)
         assert jax.process_count() == nprocs
-    assert len(jax.devices()) == N_GLOBAL, jax.devices()
+    assert len(jax.devices()) == n_global, jax.devices()
 
     import dataclasses
 
     import numpy as np
 
-    from adyolo_tpu.config import Config
+    from adyolo_tpu.config import Config, RunConfig
     from adyolo_tpu.data.labels import encode_adyolo, pad_yolo_targets
     from adyolo_tpu.engine.evaluate import make_frontend
     from adyolo_tpu.engine.train import _PreemptionGuard, _broadcast_str
@@ -62,8 +68,16 @@ def child(rank: int, nprocs: int, single: bool) -> None:
 
     cfg = Config()
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=N_GLOBAL,
+        cfg, train=dataclasses.replace(cfg.train, batch_size=n_global,
                                        max_targets_per_clip=16))
+    if tp:
+        # the Megatron TP specs live on the conformer FFN/MHSA/conv module;
+        # (data=2, model=2): the data axis spans the two processes, the
+        # model axis stays inside each process (make_mesh reshapes the
+        # process-ordered device list to (n_data, mp))
+        cfg = dataclasses.replace(
+            cfg, args=RunConfig(encoder="resnet-conformer"),
+            mesh=dataclasses.replace(cfg.mesh, model_parallel=2))
     frontend = make_frontend(cfg)
     model = build_model(cfg)
     geom = make_grid_geometry(cfg)
@@ -72,9 +86,9 @@ def child(rank: int, nprocs: int, single: bool) -> None:
     rng = np.random.default_rng(0)
     n = cfg.data.sr * SECS
     n_label = n // cfg.data.label_hop_len
-    audio_g = (rng.standard_normal((N_GLOBAL, n, 4)) * 0.1).astype(np.float32)
+    audio_g = (rng.standard_normal((n_global, n, 4)) * 0.1).astype(np.float32)
     labels = []
-    for _ in range(N_GLOBAL):
+    for _ in range(n_global):
         labels.append({int(rng.integers(n_label)): [[int(rng.integers(13)), 0,
                        float(rng.uniform(-180, 180)),
                        float(rng.uniform(-90, 90))]]})
@@ -82,16 +96,16 @@ def child(rank: int, nprocs: int, single: bool) -> None:
     M_per_clip = cfg.train.max_targets_per_clip
     if single:
         per_clip = [encode_adyolo(l, n_label, geom) for l in labels]
-        targets, mask = pad_yolo_targets(per_clip, M_per_clip * N_GLOBAL)
+        targets, mask = pad_yolo_targets(per_clip, M_per_clip * n_global)
         batch = {"audio": audio_g, "targets": targets, "target_mask": mask}
     else:
-        lo = rank * (N_GLOBAL // nprocs)
-        hi = lo + N_GLOBAL // nprocs
+        lo = rank * (n_global // nprocs)
+        hi = lo + n_global // nprocs
         per_clip = [encode_adyolo(l, n_label, geom) for l in labels[lo:hi]]
         # LOCAL encoding with LOCAL batch indices + half capacity; the
         # placer's globalize path offsets + all-gathers across processes
         targets, mask = pad_yolo_targets(
-            per_clip, M_per_clip * (N_GLOBAL // nprocs))
+            per_clip, M_per_clip * (n_global // nprocs))
         batch = {"audio": audio_g[lo:hi], "targets": targets,
                  "target_mask": mask}
 
@@ -105,8 +119,11 @@ def child(rank: int, nprocs: int, single: bool) -> None:
         assert guard.should_stop() is True  # ...every host agrees
         guard.stop = False
 
-    mesh = make_mesh(cfg.mesh, devices=jax.devices(), batch_size=N_GLOBAL)
-    assert mesh.devices.size == N_GLOBAL
+    mesh = make_mesh(cfg.mesh, devices=jax.devices(), batch_size=n_global)
+    assert mesh.devices.size == n_global
+    if tp:
+        assert dict(mesh.shape) == {cfg.mesh.data_axis: n_global // 2,
+                                    cfg.mesh.model_axis: 2}, mesh
     state = init_state(cfg, model, frontend, jax.random.PRNGKey(0))
     step = build_train_step(cfg, model, frontend, mesh)
     place = make_batch_placer(cfg, mesh)
@@ -118,8 +135,11 @@ def child(rank: int, nprocs: int, single: bool) -> None:
     print("CHILD_OK", flush=True)
 
 
-def parent() -> int:
+def parent(tp: bool = False) -> int:
     env = dict(os.environ)
+    tp_args = ["--tp"] if tp else []
+    n_global = N_GLOBAL_TP if tp else N_GLOBAL
+    label = "(data=2, model=2) conformer TP" if tp else "DP"
 
     def run(args, timeout):
         return subprocess.run(
@@ -130,8 +150,9 @@ def parent() -> int:
     def losses_of(out):
         return [float(m) for m in re.findall(r"LOSS\[\d\] = ([0-9.]+)", out)]
 
-    print("[multihost_smoke] single-process 8-device reference run...")
-    ref = run(["--single"], 900)
+    print(f"[multihost_smoke] single-process {n_global}-device {label} "
+          "reference run...")
+    ref = run(["--single"] + tp_args, 1800)
     if ref.returncode != 0 or "CHILD_OK" not in ref.stdout:
         print(ref.stdout[-3000:])
         print(ref.stderr[-3000:])
@@ -139,10 +160,11 @@ def parent() -> int:
     ref_losses = losses_of(ref.stdout)
     print("  losses:", ref_losses)
 
-    print("[multihost_smoke] 2-process x 4-device jax.distributed run...")
+    print(f"[multihost_smoke] 2-process x {n_global // 2}-device {label} "
+          "jax.distributed run...")
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--rank", str(r),
-         "--nprocs", "2"],
+         "--nprocs", "2"] + tp_args,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         cwd=REPO) for r in range(2)]
     outs = []
@@ -174,7 +196,7 @@ def parent() -> int:
         if abs(a - b) > tol:
             print(f"[multihost_smoke] FAIL: {a} vs {b} (tol {tol})")
             return 1
-    print("[multihost_smoke] PASS: 2-process DP losses match the "
+    print(f"[multihost_smoke] PASS: 2-process {label} losses match the "
           "single-process run")
     return 0
 
@@ -184,8 +206,12 @@ if __name__ == "__main__":
     ap.add_argument("--rank", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--single", action="store_true")
+    ap.add_argument("--tp", action="store_true",
+                    help="compose TP with multi-host: (data=2, model=2) on "
+                         "the conformer instead of pure DP")
     a = ap.parse_args()
     if a.single or a.rank is not None:
-        child(a.rank or 0, a.nprocs, a.single)
+        child(a.rank or 0, a.nprocs, a.single, tp=a.tp)
     else:
-        sys.exit(parent())
+        rc = parent(tp=a.tp)
+        sys.exit(rc)

@@ -11,9 +11,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_config_env_keys_are_configs():
     assert set(bench.CONFIG_ENV) <= set(bench.ALL_CONFIGS)
-    # A/B variants live in the default set so the plain driver run
-    # measures them
-    assert set(bench.CONFIG_ENV) <= set(bench.DEFAULT_CONFIGS)
+    # A/B variants live behind --all (the r4 slim: the plain driver run
+    # emits exactly the four judged lines so it fits the driver budget)
+    assert set(bench.CONFIG_ENV) == set(bench.AB_CONFIGS)
+    assert not (set(bench.AB_CONFIGS) & set(bench.DEFAULT_CONFIGS))
+    assert len(bench.DEFAULT_CONFIGS) == 4
 
 
 def test_config_env_flags_exist_in_source():

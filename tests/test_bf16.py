@@ -1,4 +1,5 @@
 """bfloat16 training-compute path tests."""
+import pytest
 import dataclasses
 
 import numpy as np
@@ -9,6 +10,7 @@ from adyolo_tpu.config import Config
 from adyolo_tpu.models.wrapper import build_model
 
 
+@pytest.mark.slow
 def test_bf16_model_params_stay_f32_and_outputs_f32():
     cfg = Config()
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train,
@@ -37,6 +39,7 @@ def test_bf16_close_to_f32():
     assert np.corrcoef(y32.ravel(), y16.ravel())[0, 1] > 0.999
 
 
+@pytest.mark.slow
 def test_bf16_grad_finite():
     cfg = Config()
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train,

@@ -41,6 +41,33 @@ def test_shipped_configs_match_builtin_defaults():
     assert cfg_file.data == cfg_builtin.data
 
 
+def test_frozen_config_preserves_preset_comments(tmp_path):
+    """The frozen hyp_exp.yaml carries the preset files' inline comments
+    (reference: ruamel round-trip dump, utility.py:84-90) and still
+    round-trips to an identical Config."""
+    from adyolo_tpu.config import config_from_yaml, config_to_yaml
+
+    cd = tmp_path / "configs"
+    cd.mkdir()
+    (cd / "hyp_train.yaml").write_text(
+        "lr: 0.005   # tuned on dev\nbatch_size: 8\n")
+    (cd / "hyp_data_DCASE2022.yaml").write_text(
+        "mel_bins: 128  # halved hop\n")
+    cfg = build_config({"dataset": "DCASE2022", "config_dir": str(cd)})
+    txt = config_to_yaml(cfg)
+    assert "lr: 0.005    # tuned on dev" in txt
+    assert "mel_bins: 128    # halved hop" in txt
+    assert "batch_size: 8\n" in txt  # uncommented fields stay plain
+    assert config_from_yaml(txt) == cfg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = build_config({"dataset": "DCASE2022",
+                        "config_dir": os.path.join(repo, "configs")})
+    txt = config_to_yaml(cfg)
+    assert "# 'bfloat16' for ~1.5x faster train steps" in txt
+    assert config_from_yaml(txt) == cfg
+
+
 def test_logging_meta_config(tmp_path):
     meta = get_logging_meta_config(str(tmp_path))  # no file -> defaults
     assert meta == DEFAULT_LOGGING_META

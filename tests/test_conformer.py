@@ -89,6 +89,7 @@ def test_mhsa_blocked_eval_matches_fused(monkeypatch):
     assert tr.shape == fused.shape
 
 
+@pytest.mark.slow
 def test_remat_exactness():
     """nn.remat is semantics-preserving: same forward and same gradients,
     only the backward's memory/recompute schedule changes."""

@@ -1,5 +1,6 @@
 """AOT serving export (engine/export.py): the deserialized StableHLO
 artifact must reproduce the live fused audio->output program exactly."""
+import pytest
 import json
 import os
 
@@ -13,6 +14,7 @@ from adyolo_tpu.engine.export import export_model, load_exported
 from adyolo_tpu.models.wrapper import build_model
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     cfg = Config()
     frontend = make_frontend(cfg)

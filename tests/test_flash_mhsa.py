@@ -93,6 +93,7 @@ def test_dropout_keep_rate():
     assert 0.93 < m < 1.07, m
 
 
+@pytest.mark.slow
 def test_dropout_grads_finite_difference():
     B, T, H, dh = 1, 16, 1, 8
     q, k, v = _mk((B, T, H, dh), 10), _mk((B, T, H, dh), 11), _mk((B, T, H, dh), 12)

@@ -64,6 +64,7 @@ def test_encoder_shapes(small_encoder):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_encoder_varlen_masking_matches_exact(small_encoder):
     """A padded clip with feat_lengths must equal the exact-length run on
     valid frames (eval mode, running BN stats)."""
@@ -83,6 +84,7 @@ def test_encoder_varlen_masking_matches_exact(small_encoder):
     )
 
 
+@pytest.mark.slow
 def test_full_model_all_heads():
     x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 32, 64, 7)), jnp.float32)
     K = 13
@@ -103,6 +105,7 @@ def test_full_model_all_heads():
             assert (np.abs(out[..., K:]) <= 1).all()
 
 
+@pytest.mark.slow
 def test_batchnorm_updates_in_train_mode():
     model = SEResNet34()
     x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 16, 64, 7)), jnp.float32)

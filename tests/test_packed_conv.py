@@ -1,6 +1,7 @@
 """Frequency-packed conv (ops/packed_conv.py): exact equivalence with the
 plain XLA 3x3 SAME conv, forward and gradients, across the SE-ResNet
 stage shapes and the 7-channel stem."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,7 @@ def test_fullpack_matches_plain_conv():
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_resident_stages_match_per_conv_packing():
     """SEResNet34(packed_stages=True) — pack once per stage, every op in
     packed layout — must equal the per-conv-packing model: identical param
@@ -125,6 +127,7 @@ def test_packed_resident_stages_match_per_conv_packing():
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_time_packed_conv_matches_plain():
     """Time-axis packing for the conformer's freq-strided convs: exact
     equivalence with the plain symmetrically padded stride-(1, s) conv,
@@ -167,6 +170,7 @@ def test_time_packed_conv_matches_plain():
     np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwr), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_conformer_time_pack_flag_equivalence():
     """ResNetConformer(time_pack=True) — the default — must have the same
     param tree and outputs as the plain-conv model (eval + masked eval)."""
