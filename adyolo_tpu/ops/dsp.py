@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hann_window", "analysis_window", "mel_filterbank", "dft_matrices"]
+__all__ = ["hann_window", "analysis_window", "mel_filterbank", "dft_matrices",
+           "irfft_lag_matrices"]
 
 
 def hann_window(n: int) -> np.ndarray:
@@ -118,3 +119,40 @@ def dft_matrices(n_fft: int, window: np.ndarray) -> tuple[np.ndarray, np.ndarray
     w_re = (np.cos(ang) * w).astype(np.float32)
     w_im = (np.sin(ang) * w).astype(np.float32)
     return w_re, w_im
+
+
+def irfft_lag_matrices(n_fft: int, n_lags: int) -> tuple[np.ndarray, np.ndarray]:
+    """Partial-inverse-rDFT matrices for the GCC-PHAT centered-lag slice.
+
+    Returns ``(C, S)`` of shape ``(1 + n_fft//2, n_lags)`` such that for an
+    rfft half-spectrum ``re + 1j*im`` (length ``K = 1 + n_fft//2``),
+    ``re @ C - im @ S`` equals the centered-lag selection
+    ``concat(cc[-n_lags//2:], cc[:n_lags - n_lags//2])`` of
+    ``np.fft.irfft(re + 1j*im, n=n_fft)``.
+
+    Rationale: GCC-PHAT (``src SELD-baseline convention``) keeps only
+    ``n_lags`` (= mel_bins, 64-128) of the ``n_fft`` (=1200) irfft outputs,
+    so computing exactly those lags as one ``(B·T·P, K) @ (K, n_lags)``
+    matmul pair is both ~10x less work than a full inverse FFT *and* the
+    only path that runs on the axon TPU backend, whose FFT lowering is
+    UNIMPLEMENTED (verified 2026-08-19).  Hermitian reconstruction for even
+    ``n_fft``: ``x[n] = (1/N)[X_0 + 2 Σ_{k=1}^{K-2}(re_k cos θ_kn -
+    im_k sin θ_kn) + (-1)^n X_{K-1}]``; the sine rows at DC/Nyquist are
+    identically zero, matching irfft's ignore-imag convention there.
+    """
+    n_bins = 1 + n_fft // 2
+    half = n_lags // 2
+    lags = np.concatenate([np.arange(n_fft - half, n_fft),
+                           np.arange(0, n_lags - half)]).astype(np.float64)
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * k * lags[None, :] / n_fft
+    alpha = np.full((n_bins, 1), 2.0)
+    alpha[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        alpha[-1, 0] = 1.0
+    lag_c = (alpha * np.cos(ang) / n_fft).astype(np.float32)
+    lag_s = (alpha * np.sin(ang) / n_fft).astype(np.float32)
+    lag_s[0, :] = 0.0
+    if n_fft % 2 == 0:
+        lag_s[-1, :] = 0.0
+    return lag_c, lag_s

@@ -43,7 +43,8 @@ import numpy as np
 _STFT_PRECISION = jax.lax.Precision.HIGH
 
 from ..config import DataConfig
-from .dsp import analysis_window, dft_matrices, mel_filterbank
+from .dsp import (analysis_window, dft_matrices, irfft_lag_matrices,
+                  mel_filterbank)
 
 __all__ = ["power_to_db", "FeatureFrontend", "Scaler", "identity_scaler"]
 
@@ -153,27 +154,32 @@ def _foa_iv(re, im, mel_t):
                     precision=_STFT_PRECISION)
 
 
-def _gcc_phat_mel(re, im, n_fft: int, n_lags: int):
+def _gcc_phat_mel(re, im, lag_c, lag_s):
     """GCC-PHAT lag features for all unordered mic pairs.
 
     For each pair (i, j): ``R = X_i conj(X_j)``; phase transform
-    ``R/|R|``; inverse rFFT; keep ``n_lags`` centered lags
-    (``concat(cc[-n_lags//2:], cc[:n_lags//2])``), the DCASE SELD baseline
-    convention.  Output (B, T, n_lags, n_pairs).
+    ``R/|R|``; partial inverse rDFT directly onto the ``n_lags`` centered
+    lags (``concat(cc[-n_lags//2:], cc[:n_lags//2])``, the DCASE SELD
+    baseline convention) via the precomputed ``(K, n_lags)`` matrices from
+    :func:`adyolo_tpu.ops.dsp.irfft_lag_matrices` — one MXU matmul pair
+    over all pairs at once instead of six full inverse FFTs (which the
+    axon TPU backend cannot lower anyway).  Output (B, T, n_lags, n_pairs).
     """
     B, T, K, C = re.shape
     pairs = [(i, j) for i in range(C) for j in range(i + 1, C)]
-    outs = []
-    for (i, j) in pairs:
-        r_re = re[..., i] * re[..., j] + im[..., i] * im[..., j]
-        r_im = im[..., i] * re[..., j] - re[..., i] * im[..., j]
-        mag = jnp.sqrt(r_re ** 2 + r_im ** 2) + _EPS
-        spec = (r_re + 1j * r_im) / mag
-        cc = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B,T,n_fft)
-        half = n_lags // 2
-        cc = jnp.concatenate([cc[..., -half:], cc[..., : n_lags - half]], axis=-1)
-        outs.append(cc)
-    return jnp.stack(outs, axis=-1)  # (B,T,n_lags,n_pairs)
+    ii = jnp.asarray([p[0] for p in pairs])
+    jj = jnp.asarray([p[1] for p in pairs])
+    re_i, re_j = re[..., ii], re[..., jj]  # (B,T,K,P)
+    im_i, im_j = im[..., ii], im[..., jj]
+    r_re = re_i * re_j + im_i * im_j
+    r_im = im_i * re_j - re_i * im_j
+    inv_mag = 1.0 / (jnp.sqrt(r_re * r_re + r_im * r_im) + _EPS)
+    return (jnp.einsum("btkp,kn->btnp", r_re * inv_mag, lag_c,
+                       preferred_element_type=jnp.float32,
+                       precision=_STFT_PRECISION)
+            - jnp.einsum("btkp,kn->btnp", r_im * inv_mag, lag_s,
+                         preferred_element_type=jnp.float32,
+                         precision=_STFT_PRECISION))
 
 
 class FeatureFrontend:
@@ -197,6 +203,10 @@ class FeatureFrontend:
         mel = mel_filterbank(data_cfg.sr, data_cfg.n_fft, data_cfg.mel_bins)
         self._mel_t = jnp.asarray(mel.T)  # (K, mel_bins)
         self.n_aux_channels = data_cfg.nb_feature_channels - 4  # IV 3 / GCC 6
+        if data_cfg.audio_format != "foa":
+            lag_c, lag_s = irfft_lag_matrices(data_cfg.n_fft, data_cfg.mel_bins)
+            self._lag_c = jnp.asarray(lag_c)  # (K, n_lags)
+            self._lag_s = jnp.asarray(lag_s)
         if scaler is None:
             scaler = identity_scaler(data_cfg.mel_bins,
                                      n_aux_ch=self.n_aux_channels)
@@ -236,7 +246,7 @@ class FeatureFrontend:
         if self.cfg.audio_format == "foa":
             aux = _foa_iv(re, im, self._mel_t)  # (B,T,mel,3)
         else:  # mic
-            aux = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
+            aux = _gcc_phat_mel(re, im, self._lag_c, self._lag_s)
         aux = (aux - aux_mean) / aux_std
         feat = jnp.concatenate([mel_db, aux], axis=-1)
 
@@ -257,5 +267,5 @@ class FeatureFrontend:
         if self.cfg.audio_format == "foa":
             aux = _foa_iv(re, im, self._mel_t)
         else:
-            aux = _gcc_phat_mel(re, im, self.cfg.n_fft, self.cfg.mel_bins)
+            aux = _gcc_phat_mel(re, im, self._lag_c, self._lag_s)
         return mel_db, aux

@@ -156,3 +156,22 @@ def test_framed_dft_split_slab_matches_gather_fallback():
                                    atol=2e-4 * scale)
         np.testing.assert_allclose(np.asarray(im), np.asarray(want_im),
                                    atol=2e-4 * scale)
+
+
+def test_irfft_lag_matrices_match_numpy_irfft():
+    """The matmul partial inverse rDFT equals np.fft.irfft's centered-lag
+    slice — including irfft's ignore-imag convention at DC/Nyquist (the
+    random specs below have nonzero imag there).  This path exists because
+    the axon TPU backend cannot lower FFT ops (UNIMPLEMENTED) and because
+    keeping 64-128 of 1200 lags as a (K, n_lags) matmul is ~10x cheaper."""
+    rng = np.random.default_rng(11)
+    for n_fft, n_lags in [(1200, 64), (1200, 128), (512, 60), (510, 33)]:
+        K = 1 + n_fft // 2
+        spec = rng.standard_normal((5, K)) + 1j * rng.standard_normal((5, K))
+        full = np.fft.irfft(spec, n=n_fft, axis=-1)
+        half = n_lags // 2
+        want = np.concatenate([full[:, -half:], full[:, : n_lags - half]], -1)
+        lag_c, lag_s = dsp.irfft_lag_matrices(n_fft, n_lags)
+        got = (spec.real.astype(np.float32) @ lag_c
+               - spec.imag.astype(np.float32) @ lag_s)
+        np.testing.assert_allclose(got, want, atol=2e-6)
