@@ -18,7 +18,7 @@ set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_recovery
 # --all now includes the A/B variant configs (train-bf16-nopack,
-# train-conformer-bf16-flash, train-conformer-bf16-notimepack) in
+# train-conformer-bf16-noflash, train-conformer-bf16-timepack) in
 # their own worker subprocesses — no separate env'd runs needed
 timeout 5400 python bench.py --all   > /tmp/tpu_recovery/bench.log 2>&1
 timeout 1800 python scripts/conv_bench.py --strided \
