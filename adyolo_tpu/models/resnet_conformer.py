@@ -170,12 +170,11 @@ class MHSA(nn.Module):
     # Pallas fused-attention kernel for the training path (ops/flash_mhsa):
     # never materializes the (B, H, T, T) probs in HBM, dropout mask from
     # the core PRNG regenerated in backward.  "auto" = on when the default
-    # backend is TPU; "0" = always the XLA paths.  Shipped default OFF
-    # until the kernel has compiled+won on the real chip (the r3 chip
-    # lease wedge blocked validation): bench's
-    # train-conformer-bf16-flash A/B config measures it ON — flip the
-    # default once it wins (scripts/flash_check.py has the full check).
-    flash: str = os.environ.get("ADYOLO_FLASH_MHSA", "0")
+    # backend is TPU; "0" = always the XLA paths.  Default "auto" since the
+    # round-4 A/B on the real v5e: conformer bf16 train 5,520.8 audio_s/s
+    # flash-ON vs 5,295.7 OFF (+4.3%; PLAN.md "Round 4 — A/B decisions";
+    # scripts/flash_check.py has the exactness/PRNG checks).
+    flash: str = os.environ.get("ADYOLO_FLASH_MHSA", "auto")
     dtype: Any = jnp.float32
 
     BLOCK_THRESHOLD = 2400  # frames; (1,4,2400,2400) f32 = 92 MB is fine
@@ -313,10 +312,13 @@ class ResNetConformer(nn.Module):
     num_layers: int = 8
     time_pool: int = 4
     # time-pack the underfilled freq-strided convs (stem 7x7 Cin=7->64 and
-    # the layer-1 entry conv); exact math, flip off if a TPU bench
-    # regresses.  ADYOLO_TIME_PACK=0 (read at import, for fresh-process
-    # A/B benching) flips the default off.
-    time_pack: bool = os.environ.get("ADYOLO_TIME_PACK", "1") != "0"
+    # the layer-1 entry conv); exact math.  Default OFF since the round-4
+    # A/B on the real v5e: 5,342.5 audio_s/s OFF vs 5,295.7 ON — unlike
+    # SE-ResNet, the conformer keeps T=800 through the stages so its pack
+    # reshapes are 4x larger and eat the MXU win (PLAN.md "Round 4 — A/B
+    # decisions").  ADYOLO_TIME_PACK=1 (read at import, for fresh-process
+    # A/B benching) re-enables it.
+    time_pack: bool = os.environ.get("ADYOLO_TIME_PACK", "0") == "1"
     # packed-resident stage interiors (same trick as
     # SEResNet34.packed_stages): after a stage's strided entry block, the
     # stride-1 channel-preserving blocks run on one (B, T, F/p, p*C)

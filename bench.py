@@ -78,16 +78,17 @@ DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
                    "train-conformer-bf16")
 # A/B lines: same benches with one optimization toggled via env, so a
 # driver artifact can re-decide any default without code changes
-AB_CONFIGS = ("train-bf16-nopack", "train-conformer-bf16-flash",
-              "train-conformer-bf16-notimepack")
+AB_CONFIGS = ("train-bf16-nopack", "train-conformer-bf16-noflash",
+              "train-conformer-bf16-timepack")
 # env overrides per A/B config; applied in the worker process before any
 # adyolo/jax import (the flags are read at import time)
 CONFIG_ENV = {
     "train-bf16-nopack": {"ADYOLO_PACKED_STAGES": "0"},
-    # the fused MHSA kernel ships default-OFF until TPU-validated; this
-    # line measures it ON so the driver artifact decides the flip
-    "train-conformer-bf16-flash": {"ADYOLO_FLASH_MHSA": "auto"},
-    "train-conformer-bf16-notimepack": {"ADYOLO_TIME_PACK": "0"},
+    # each line measures the NON-default side of a decided r4 A/B (flash
+    # default "auto", conformer time_pack default OFF — PLAN.md "Round 4
+    # — A/B decisions") so any driver artifact can re-check the call
+    "train-conformer-bf16-noflash": {"ADYOLO_FLASH_MHSA": "0"},
+    "train-conformer-bf16-timepack": {"ADYOLO_TIME_PACK": "1"},
 }
 ALL_CONFIGS = DEFAULT_CONFIGS + AB_CONFIGS + (
     "infer-latency", "scaler-pass", "mic-gcc",
@@ -252,10 +253,10 @@ def main() -> None:
         cfg32conf, "train-step throughput (resnet-conformer, B=32, bf16)"))
     _run_config("train-bf16-nopack", lambda: bench_train_step(
         cfg32bf, "train-step throughput (B=32, bf16, packed_stages OFF)"))
-    _run_config("train-conformer-bf16-flash", lambda: bench_train_step(
-        cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA ON)"))
-    _run_config("train-conformer-bf16-notimepack", lambda: bench_train_step(
-        cfg32conf, "train-step throughput (conformer, bf16, time-pack OFF)"))
+    _run_config("train-conformer-bf16-noflash", lambda: bench_train_step(
+        cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA OFF)"))
+    _run_config("train-conformer-bf16-timepack", lambda: bench_train_step(
+        cfg32conf, "train-step throughput (conformer, bf16, time-pack ON)"))
 
     if run_all:
         from adyolo_tpu.ops.decode import PostProcessor
