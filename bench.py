@@ -225,6 +225,21 @@ def main() -> None:
         key = jax.random.PRNGKey(1)
         flops = compiled_flops(step.jit_step, state, batch, key,
                                step.scaler_args())
+        if flops and cfg_b.args.encoder == "resnet-conformer":
+            # MFU's numerator is implementation-independent MODEL FLOPs.
+            # XLA's cost analysis cannot see inside the Pallas flash-MHSA
+            # kernel, so when it is active add the standard analytic
+            # attention-matmul count (QK^T + PV: 4*B*T^2*D fwd, 2x for
+            # bwd = 12*B*T^2*D per layer) that the XLA-attention variant
+            # of the same step would have been billed.
+            from adyolo_tpu.models.resnet_conformer import MHSA, ResNetConformer
+
+            flash = MHSA.flash
+            if flash == "1" or (flash == "auto"
+                                and jax.default_backend() == "tpu"):
+                T = cfg_b.data.chunk_feat_frames
+                D, L = ResNetConformer.emb_dim, ResNetConformer.num_layers
+                flops += 12.0 * cfg_b.train.batch_size * T * T * D * L
         s = state
         for _ in range(3):
             s, loss = step(s, batch, key)
