@@ -89,6 +89,40 @@ def test_mhsa_blocked_eval_matches_fused(monkeypatch):
     assert tr.shape == fused.shape
 
 
+def test_mhsa_flash_auto_routing(monkeypatch):
+    """flash="auto" (the round-4 default, PLAN.md "Round 4 — A/B
+    decisions") must resolve by backend: bit-identical to flash="0" on
+    CPU, and the Pallas kernel exactly when the default backend reports
+    TPU (pinned by stubbing the kernel — CPU cannot execute Mosaic).
+    Guards the +4.3% A/B win against silent misrouting."""
+    import adyolo_tpu.models.resnet_conformer as rc
+
+    rng = np.random.default_rng(0)
+    B, T, D = 2, 48, 32  # T % 8 == 0, so only the backend gate decides
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    m_auto = rc.MHSA(D, flash="auto")
+    variables = m_auto.init({"params": jax.random.PRNGKey(0)}, x, False)
+
+    out_auto = m_auto.apply(variables, x, False)
+    out_off = rc.MHSA(D, flash="0").apply(variables, x, False)
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_off))
+
+    calls = []
+
+    def fake_kernel(q, k, v, mask, rate=0.0, rng_key=None):
+        calls.append(q.shape)
+        return jnp.zeros(q.shape, q.dtype)
+
+    monkeypatch.setattr(rc, "flash_mhsa", fake_kernel)
+    monkeypatch.setattr(rc.jax, "default_backend", lambda: "tpu")
+    m_auto.apply(variables, x, False)
+    assert calls == [(B, T, 4, D // 4)]
+    # flash="0" must keep the XLA path even on a TPU backend
+    calls.clear()
+    rc.MHSA(D, flash="0").apply(variables, x, False)
+    assert calls == []
+
+
 @pytest.mark.slow
 def test_remat_exactness():
     """nn.remat is semantics-preserving: same forward and same gradients,
