@@ -182,7 +182,13 @@ def build_train_step(cfg: Config, model, frontend: FeatureFrontend,
             # tensor parallelism: per-leaf shardings from the TP rules
             # (mesh.state_shardings); the state structure comes from an
             # eval_shape of init (no arrays are materialized)
-            flash_env = os.environ.get("ADYOLO_FLASH_MHSA", "0")
+            # read the resolved model default (ADYOLO_FLASH_MHSA env or
+            # "auto") from the MHSA class itself so this guard can never
+            # diverge from what the blocks actually route to — it did
+            # once, when the default flipped "0" -> "auto" in round 4
+            from ..models.resnet_conformer import MHSA
+
+            flash_env = MHSA.flash
             if flash_env == "1" or (flash_env == "auto"
                                     and jax.default_backend() == "tpu"):
                 # the fused MHSA pallas_call has no SPMD partitioning rule:

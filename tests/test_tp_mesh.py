@@ -143,3 +143,24 @@ def test_engine_quick_train_with_tp(tmp_path):
     exp = os.path.join(results, "exp-tp")
     assert os.path.isfile(os.path.join(exp, "model_best.ckpt"))
     assert len(os.listdir(os.path.join(exp, "output_eval"))) == 1
+
+
+def test_tp_rejects_flash_mhsa_on_tpu_backend(monkeypatch):
+    """model_parallel>1 + the fused attention kernel has no SPMD rule; the
+    guard must fire on the *resolved model default* (MHSA.flash, "auto"
+    since round 4), not a stale env read — the two diverged once
+    (train_step defaulted the env to "0" while the blocks routed "auto"
+    onto the kernel)."""
+    import adyolo_tpu.parallel.train_step as ts
+    from adyolo_tpu.models.resnet_conformer import MHSA
+
+    assert MHSA.flash == "auto"  # env unset in tests; the shipped default
+    cfg = dataclasses.replace(
+        Config(), args=RunConfig(encoder="resnet-conformer"),
+        mesh=MeshConfig(model_parallel=2))
+    frontend = make_frontend(cfg)
+    model = build_model(cfg)
+    mesh = make_mesh(cfg.mesh, batch_size=8)
+    monkeypatch.setattr(ts.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="ADYOLO_FLASH_MHSA"):
+        build_train_step(cfg, model, frontend, mesh)
