@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="mesh size along the model axis (tensor "
                              "parallelism of the conformer FFN/MHSA; "
                              "devices = data_parallel x model_parallel)")
+        sp.add_argument("--serve_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="export: encoder compute dtype of the AOT "
+                             "serving artifact (params stay f32; default "
+                             "ADYOLO_SERVE_DTYPE or float32)")
 
     for action in ("train", "val", "test", "infer", "export"):
         sp = sub.add_parser(action)

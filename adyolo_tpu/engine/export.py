@@ -41,20 +41,32 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
                  batch_size: int = 1, seconds: Optional[float] = None,
                  platforms: Optional[Sequence[str]] = None,
                  conf_thresh: float = 0.5,
-                 frozen_cfg_path: Optional[str] = None) -> str:
-    """Serialize the fused inference program; returns ``out_dir``."""
+                 frozen_cfg_path: Optional[str] = None,
+                 serve_dtype: Optional[str] = None) -> str:
+    """Serialize the fused inference program; returns ``out_dir``.
+
+    ``serve_dtype`` selects the encoder compute dtype of the exported
+    program ('float32' | 'bfloat16'; default from ``ADYOLO_SERVE_DTYPE``
+    or 'float32').  Params and the feature front-end stay f32 either
+    way — bf16 only changes per-layer activation compute, the TPU
+    serving sweet spot (MXU-native, ~2x f32 conv throughput)."""
     import jax
     import jax.numpy as jnp
 
     from ..models.wrapper import build_model
 
-    model = build_model(cfg, compute_dtype="float32")
+    serve_dtype = serve_dtype or os.environ.get("ADYOLO_SERVE_DTYPE",
+                                                "float32")
+    model = build_model(cfg, compute_dtype=serve_dtype)
     secs = float(seconds if seconds is not None else cfg.data.chunk_window_s)
     n = int(round(secs * cfg.data.sr))
     n_ch = 4  # FOA and the 4-mic array both carry 4 waveform channels
 
     def fwd(audio):
-        with jax.default_matmul_precision("float32"):
+        # f32 serving keeps strict matmul precision for golden parity;
+        # bf16 serving uses the backend default (MXU-native)
+        prec = "float32" if serve_dtype == "float32" else "default"
+        with jax.default_matmul_precision(prec):
             feat = frontend._forward(audio, None, frontend._mel_mean,
                                      frontend._mel_std, frontend._aux_mean,
                                      frontend._aux_std)
@@ -84,6 +96,7 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
         "nb_classes": cfg.data.nb_classes,
         "confidence_thresh": float(conf_thresh),
         "platforms": list(platforms),
+        "serve_dtype": serve_dtype,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -135,6 +148,7 @@ def export_cmd(cfg_args: Dict, results_dir: str = "results") -> str:
     out_dir = os.path.join(output_pth, "export")
     export_model(cfg, variables, frontend, out_dir,
                  conf_thresh=host.get("confidence_thresh", 0.5),
-                 frozen_cfg_path=frozen)
+                 frozen_cfg_path=frozen,
+                 serve_dtype=cfg_args.get("serve_dtype"))
     print(f"exported serving artifact -> {out_dir}")
     return out_dir

@@ -78,11 +78,14 @@ DEFAULT_CONFIGS = ("headline", "train-f32", "train-bf16",
                    "train-conformer-bf16")
 # A/B lines: same benches with one optimization toggled via env, so a
 # driver artifact can re-decide any default without code changes
-AB_CONFIGS = ("train-bf16-nopack", "train-conformer-bf16-noflash",
+AB_CONFIGS = ("headline-bf16", "train-bf16-nopack",
+              "train-conformer-bf16-noflash",
               "train-conformer-bf16-timepack")
 # env overrides per A/B config; applied in the worker process before any
 # adyolo/jax import (the flags are read at import time)
 CONFIG_ENV = {
+    # bf16 serving path for the headline model (params stay f32)
+    "headline-bf16": {"ADYOLO_SERVE_DTYPE": "bfloat16"},
     "train-bf16-nopack": {"ADYOLO_PACKED_STAGES": "0"},
     # each line measures the NON-default side of a decided r4 A/B (flash
     # default "auto", conformer time_pack default OFF — PLAN.md "Round 4
@@ -176,7 +179,13 @@ def main() -> None:
 
         return fwd
 
-    fwd = make_fwd(frontend, model)
+    # serving dtype for the headline line only (params stay f32; flax
+    # casts activations per-layer) — ADYOLO_SERVE_DTYPE lets a worker
+    # A/B the bf16 serving path against f32 without code changes
+    serve_dtype = os.environ.get("ADYOLO_SERVE_DTYPE", "float32")
+    fwd = make_fwd(frontend,
+                   model if serve_dtype == "float32"
+                   else build_model(cfg, compute_dtype=serve_dtype))
 
     # ---- headline: features+forward throughput ---------------------------
     def bench_headline():
@@ -186,6 +195,14 @@ def main() -> None:
               flops=compiled_flops(fwd, variables, audio16), dt=dt)
 
     _run_config("headline", bench_headline)
+
+    def bench_headline_bf16():
+        dt = _bench(fwd, variables, audio16)
+        _emit("audio-sec/sec/chip (features+forward, bf16 serving)",
+              B * secs / dt, "audio_s/s", (B * secs / dt) / 500.0,
+              flops=compiled_flops(fwd, variables, audio16), dt=dt)
+
+    _run_config("headline-bf16", bench_headline_bf16)
 
     # ---- train steps (always emitted: the numbers rounds are judged on) ---
     from adyolo_tpu.data.labels import encode_adyolo, pad_yolo_targets

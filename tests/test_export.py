@@ -56,6 +56,51 @@ def test_export_cli_action_parses():
     args = build_parser().parse_args(["export", "--eval_pth", "some-exp"])
     assert args.action == "export"
     assert args.eval_pth == "some-exp"
+    assert args.serve_dtype is None  # default: ADYOLO_SERVE_DTYPE or f32
+    args = build_parser().parse_args(
+        ["export", "--eval_pth", "e", "--serve_dtype", "bfloat16"])
+    assert args.serve_dtype == "bfloat16"
+
+
+@pytest.mark.slow
+def test_export_bf16_serving(tmp_path):
+    """bf16 serving artifact: params stay f32, per-layer activation
+    compute is bf16 (the TPU MXU-native serving path the headline bench
+    A/Bs via ADYOLO_SERVE_DTYPE).  The exported program must stay within
+    bf16 activation tolerance of the f32 live forward."""
+    cfg = Config()
+    frontend = make_frontend(cfg)
+    model = build_model(cfg, compute_dtype="float32")
+    secs = 2
+    n = secs * cfg.data.sr
+    feat_shape = (1, n // cfg.data.hop_length, cfg.data.mel_bins,
+                  cfg.data.nb_feature_channels)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(feat_shape, jnp.float32), False)
+
+    out_dir = export_model(cfg, variables, frontend, str(tmp_path / "bf16"),
+                           batch_size=1, seconds=secs,
+                           serve_dtype="bfloat16")
+    meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    assert meta["serve_dtype"] == "bfloat16"
+    # output head runs in f32 (the encoder upcasts at the GRU/attention
+    # tail), so the artifact's declared output dtype stays float32
+    assert meta["output_dtype"] == "float32"
+
+    call, _ = load_exported(out_dir)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((1, n, 4)) * 0.1).astype(np.float32)
+    served = np.asarray(call(audio))
+    with jax.default_matmul_precision("float32"):
+        feat = frontend._forward(jnp.asarray(audio), None,
+                                 frontend._mel_mean, frontend._mel_std,
+                                 frontend._aux_mean, frontend._aux_std)
+        live = np.asarray(model.apply(variables, feat, False))
+    assert served.shape == live.shape
+    # bf16 has ~3 decimal digits; the head outputs are tanh/sigmoid-
+    # bounded so an absolute gate is the right check
+    assert np.max(np.abs(served - live)) < 0.1
+    assert np.mean(np.abs(served - live)) < 0.01
 
 
 def test_export_decode_loop(tmp_path):
