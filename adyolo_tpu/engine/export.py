@@ -79,7 +79,15 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
         # program is stock StableHLO — no platform-specific custom calls
         # in the f32 eval path)
         platforms = ("tpu", "cpu")
-    exp = jax.export.export(jax.jit(fwd), platforms=list(platforms))(spec)
+    # the conformer's flash-attention Pallas kernel is a TPU custom call
+    # and cannot lower for the artifact's CPU platform — force the
+    # pure-XLA attention paths for the export trace (numerically
+    # identical: the kernel computes exact attention, eval has no
+    # dropout; see models/resnet_conformer.py force_flash)
+    from ..models.resnet_conformer import force_flash
+
+    with force_flash("0"):
+        exp = jax.export.export(jax.jit(fwd), platforms=list(platforms))(spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:

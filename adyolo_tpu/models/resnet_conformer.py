@@ -23,6 +23,7 @@ Shapes for DCASE geometry: (B, 800, 64, 7) -> (B, 200, 256).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Optional, Tuple
 
@@ -34,7 +35,30 @@ from ..ops.flash_mhsa import flash_mhsa, flash_mhsa_long
 from ..ops.packed_conv import best_pack, conv_time_packed, pack_x, unpack_x
 from .layers import Conv3x3, U8Dropout, apply_frame_mask, pool_mask
 
-__all__ = ["ResNetConformer"]
+__all__ = ["ResNetConformer", "force_flash"]
+
+# Trace-time override for every MHSA's kernel-selection flag.  A Pallas
+# kernel lowers to a TPU custom call, which cannot appear in a
+# multi-platform StableHLO artifact: ``jax.export`` lowers the traced
+# program once per requested platform and the CPU lowering of
+# ``pallas_call`` rejects compiled mode outright.  ``engine/export.py``
+# wraps its export trace in ``force_flash("0")`` so serving artifacts
+# always take the pure-XLA attention paths (numerically identical —
+# the flash kernel computes exact attention, and eval has no dropout).
+_FLASH_FORCE: Optional[str] = None
+
+
+@contextlib.contextmanager
+def force_flash(mode: Optional[str]):
+    """Pin every MHSA's flash mode ("0" | "1" | "auto") for traces made
+    inside the context, overriding the env/field default."""
+    global _FLASH_FORCE
+    prev = _FLASH_FORCE
+    _FLASH_FORCE = mode
+    try:
+        yield
+    finally:
+        _FLASH_FORCE = prev
 
 
 class TimePackedConv(nn.Module):
@@ -192,8 +216,9 @@ class MHSA(nn.Module):
         # hypothetical long-chunk training config falls back to the fused
         # XLA path, which carries the dropout); longer eval buckets route
         # to the online-softmax kernel or the lax.map fallback below
+        flash = _FLASH_FORCE if _FLASH_FORCE is not None else self.flash
         flash_on = (T % 8 == 0
-                    and (self.flash == "1" or (self.flash == "auto"
+                    and (flash == "1" or (flash == "auto"
                          and jax.default_backend() == "tpu")))
         if flash_on and T <= self.BLOCK_THRESHOLD:
             rate = self.dropout if train else 0.0

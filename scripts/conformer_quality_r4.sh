@@ -64,4 +64,6 @@ if [ -f $RES/$EXP/model_best.ckpt ]; then
   echo "== export rc=$?" >> $LOG
 fi
 grep -E "best|epoch result|export" $LOG | tail -25
-echo QUALITY_RUN_DONE
+# the done marker must land in $LOG — that's the file waiters
+# (scripts/r4_close_bench.sh) grep for, not this script's stdout
+echo QUALITY_RUN_DONE | tee -a $LOG

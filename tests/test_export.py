@@ -103,6 +103,74 @@ def test_export_bf16_serving(tmp_path):
     assert np.mean(np.abs(served - live)) < 0.01
 
 
+def test_force_flash_pins_attention_path():
+    """Regression (round-4 TPU export failure): with flash MHSA resolved
+    ON (the default on a TPU backend), the conformer trace embeds a
+    ``pallas_call`` — a TPU custom call the CPU platform lowering of a
+    multi-platform artifact rejects.  ``force_flash`` must (a) reproduce
+    that failure shape when pinned "1" on CPU, (b) let an inner "0"
+    (what export_model applies) win over an outer "1", and (c) restore
+    the previous mode on exit."""
+    from adyolo_tpu.models.resnet_conformer import MHSA, force_flash
+    import adyolo_tpu.models.resnet_conformer as rc
+
+    m = MHSA(dim=32, heads=4)
+    x = jnp.zeros((1, 16, 32), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, False)
+
+    def lower():
+        return jax.jit(lambda a: m.apply(variables, a, False)).lower(x)
+
+    with force_flash("1"):
+        with pytest.raises(ValueError, match="interpret mode"):
+            lower().compile()
+        with force_flash("0"):  # export_model's inner pin wins
+            lower().compile()
+        assert rc._FLASH_FORCE == "1"  # outer mode restored after inner
+    assert rc._FLASH_FORCE is None
+
+
+@pytest.mark.slow
+def test_export_conformer_with_flash_resolved_on(tmp_path):
+    """End-to-end shape of the round-4 failure: exporting a
+    resnet-conformer checkpoint while the session's flash default
+    resolves ON must still produce a portable (tpu, cpu) artifact that
+    matches the live XLA forward."""
+    import dataclasses
+
+    from adyolo_tpu.config import RunConfig
+    from adyolo_tpu.models.resnet_conformer import force_flash
+
+    cfg = dataclasses.replace(Config(),
+                              args=RunConfig(encoder="resnet-conformer"))
+    frontend = make_frontend(cfg)
+    model = build_model(cfg, compute_dtype="float32")
+    secs = 2
+    n = secs * cfg.data.sr
+    feat_shape = (1, n // cfg.data.hop_length, cfg.data.mel_bins,
+                  cfg.data.nb_feature_channels)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(feat_shape, jnp.float32), False)
+
+    with force_flash("1"):  # what "auto" resolves to on the real chip
+        out_dir = export_model(cfg, variables, frontend,
+                               str(tmp_path / "conf"), batch_size=1,
+                               seconds=secs)
+    meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    assert meta["platforms"] == ["tpu", "cpu"]
+
+    call, _ = load_exported(out_dir)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((1, n, 4)) * 0.1).astype(np.float32)
+    served = np.asarray(call(audio))
+    with jax.default_matmul_precision("float32"):
+        feat = frontend._forward(jnp.asarray(audio), None,
+                                 frontend._mel_mean, frontend._mel_std,
+                                 frontend._aux_mean, frontend._aux_std)
+        live = np.asarray(model.apply(variables, feat, False))
+    np.testing.assert_allclose(served, live, atol=1e-5, rtol=1e-5)
+
+
 def test_export_decode_loop(tmp_path):
     """Full serving loop: artifact output -> PostProcessor built from the
     bundled frozen config decodes identically to the live pipeline."""
