@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--mode", default="train", choices=("train", "forward"),
+                    help="train = fwd+bwd+adam at B=32; forward = the "
+                         "serving features+forward path at B=16 with "
+                         "--dtype as the serve compute dtype")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +54,42 @@ def main():
                                   compute_dtype=args.dtype),
         args=RunConfig(encoder=args.encoder))
     rng = np.random.default_rng(0)
+
+    if args.mode == "forward":
+        # serving path: fused features+forward, B=16, device-resident
+        # input — mirrors bench.py's headline/headline-bf16 lines
+        import jax.numpy as jnp
+
+        B = 16
+        frontend = make_frontend(cfg)
+        model = build_model(cfg, compute_dtype=args.dtype)
+        feat_shape = (1, cfg.data.chunk_feat_frames, cfg.data.mel_bins,
+                      cfg.data.nb_feature_channels)
+        variables = build_model(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
+        audio = jax.device_put(
+            (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1
+             ).astype(np.float32))
+
+        @jax.jit
+        def fwd(variables, audio):
+            feat = frontend._forward(audio, None, frontend._mel_mean,
+                                     frontend._mel_std, frontend._aux_mean,
+                                     frontend._aux_std)
+            return model.apply(variables, feat, False)
+
+        np.asarray(fwd(variables, audio)).sum()  # compile + warm
+        with tempfile.TemporaryDirectory() as logdir:
+            jax.profiler.start_trace(logdir)
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = fwd(variables, audio)
+            np.asarray(out).sum()
+            wall = time.perf_counter() - t0
+            jax.profiler.stop_trace()
+            _report(logdir, wall, args)
+        return
     geom = make_grid_geometry(cfg)
     per_clip = []
     for _ in range(B32):
@@ -87,9 +127,13 @@ def main():
         wall = time.perf_counter() - t0
         jax.profiler.stop_trace()
 
-        paths = glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz")
-        with gzip.open(sorted(paths)[-1]) as f:
-            data = json.load(f)
+        _report(logdir, wall, args)
+
+
+def _report(logdir, wall, args):
+    paths = glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz")
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
     events = data.get("traceEvents", [])
     pid_names = {e["pid"]: e.get("args", {}).get("name", "") for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
@@ -141,8 +185,8 @@ def main():
     print(f"total op time: {tot / args.iters / 1e3:.1f} ms/step over "
           f"{len(ranked)} distinct ops")
     for name, dur in ranked[: args.top]:
-        print(f"{dur / args.iters / 1e3:8.3f} ms  x{counts[name] // args.iters:<4d} "
-              f"{name[:110]}")
+        print(f"{dur / args.iters / 1e3:8.3f} ms  "
+              f"x{counts[name] // args.iters:<4d} {name[:110]}")
     print("---- by source attribution ----")
     for key, dur in sorted(src_totals.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"{dur / args.iters / 1e3:8.3f} ms  {key[:110]}")

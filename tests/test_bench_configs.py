@@ -12,10 +12,46 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_config_env_keys_are_configs():
     assert set(bench.CONFIG_ENV) <= set(bench.ALL_CONFIGS)
     # A/B variants live behind --all (the r4 slim: the plain driver run
-    # emits exactly the four judged lines so it fits the driver budget)
-    assert set(bench.CONFIG_ENV) == set(bench.AB_CONFIGS)
+    # emits exactly the four judged lines so it fits the driver budget);
+    # headline-bf16 needs no env override (runtime build_model dtype) so
+    # the group worker can emit it in-process as the bonus fifth line
+    assert set(bench.CONFIG_ENV) == set(bench.AB_CONFIGS) - {"headline-bf16"}
     assert not (set(bench.AB_CONFIGS) & set(bench.DEFAULT_CONFIGS))
     assert len(bench.DEFAULT_CONFIGS) == 4
+    assert set(bench.GROUP_CONFIGS) == set(bench.DEFAULT_CONFIGS) | {
+        "headline-bf16"}
+
+
+def test_metric_of_covers_every_config():
+    # the orchestrator detects which lines landed by exact metric-string
+    # match against streamed worker stdout — every config needs one, and
+    # no metric string may be a substring of another (a prefix match
+    # would mark the wrong config as done)
+    assert set(bench.METRIC_OF) == set(bench.ALL_CONFIGS)
+    metrics = list(bench.METRIC_OF.values())
+    for i, a in enumerate(metrics):
+        for j, b in enumerate(metrics):
+            if i != j:
+                assert a not in b, (a, b)
+
+
+def test_stream_worker_forwards_lines_live_and_terminates(capfd):
+    import sys as _sys
+
+    # worker prints two lines then sleeps past the cap: both lines must
+    # be forwarded and the worker must be SIGTERMed (rc None)
+    code = ("import sys,time;print('L1',flush=True);print('L2',flush=True);"
+            "time.sleep(60)")
+    rc, lines = bench._stream_worker([_sys.executable, "-c", code],
+                                     timeout=3.0)
+    assert rc is None
+    assert [ln.strip() for ln in lines] == ["L1", "L2"]
+    assert "L1\nL2" in capfd.readouterr().out
+
+    # clean exit returns the real rc with all lines
+    rc, lines = bench._stream_worker(
+        [_sys.executable, "-c", "print('ok',flush=True)"], timeout=30.0)
+    assert rc == 0 and [ln.strip() for ln in lines] == ["ok"]
 
 
 def test_config_env_flags_exist_in_source():
