@@ -221,7 +221,15 @@ def _assemble_batch(dataset: SELDDataset, names: Sequence[str], max_targets: int
         loaded = list(pool.map(load_one, zip(names, combs)))
     audios = [a for a, _ in loaded]
     labels = [l for _, l in loaded]
-    batch = {"audio": np.stack(audios, axis=0)}
+    audio = np.stack(audios, axis=0)
+    d = dataset.cfg.data
+    if d.n_fft == 2 * d.hop_length and audio.shape[1] % d.hop_length == 0:
+        # hop-block wire layout (B, T, hop, C): a free view of the stacked
+        # batch that skips the ~1.26 ms (B=16) / ~2.5 ms (B=32) device
+        # chunk relayout inside the STFT (ops/stft.py framed_dft_chunked)
+        audio = audio.reshape(audio.shape[0], -1, d.hop_length,
+                              audio.shape[2])
+    batch = {"audio": audio}
     if dataset.loss_nm == "adyolo":
         targets, mask = pad_yolo_targets(labels, max_targets)
         batch["targets"] = targets
@@ -374,6 +382,10 @@ class EvalLoader:
             n_bucket = bucket_samples(n_valid, hop, self.buckets)
             padded = np.zeros((1, n_bucket, audio.shape[1]), np.float32)
             padded[0, :n_valid] = audio
+            if self.cfg.data.n_fft == 2 * hop:
+                # hop-block wire layout (1, T, hop, C) — free view (buckets
+                # are always hop multiples); see _assemble_batch
+                padded = padded.reshape(1, -1, hop, audio.shape[1])
             item = {
                 "name": name,
                 "audio": padded,

@@ -72,7 +72,16 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
                                      frontend._aux_std)
             return model.apply(variables, feat, False)
 
-    spec = jax.ShapeDtypeStruct((batch_size, n, n_ch), jnp.float32)
+    # hop-block input layout (B, T, hop, C) when the geometry allows it:
+    # a free host-side view of the flat clip that skips the ~1.26 ms/call
+    # device chunk relayout inside the STFT (ops/stft.py
+    # framed_dft_chunked).  load_exported keeps the flat (B, N, C) calling
+    # convention and does the reshape on the host.
+    hop = cfg.data.hop_length
+    chunked = cfg.data.n_fft == 2 * hop and n % hop == 0
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, n // hop, hop, n_ch) if chunked else (batch_size, n, n_ch),
+        jnp.float32)
     if platforms is None:
         # multi-platform artifact: lowers once per platform so the same
         # file serves on a TPU pod and on a CPU fallback host (the whole
@@ -95,6 +104,8 @@ def export_model(cfg: Config, variables: Dict, frontend, out_dir: str,
     out_aval = jax.tree.leaves(exp.out_avals)[0]
     meta = {
         "input_shape": [batch_size, n, n_ch],
+        "input_layout": "hop_blocks" if chunked else "flat",
+        "hop_length": hop,
         "output_shape": list(out_aval.shape),
         "output_dtype": str(out_aval.dtype),
         "sr": cfg.data.sr,
@@ -125,7 +136,11 @@ def load_exported(artifact_dir: str) -> Tuple[Any, Dict]:
         meta = json.load(f)
 
     def call(audio):
-        return exp.call(np.asarray(audio, np.float32))
+        a = np.asarray(audio, np.float32)
+        if meta.get("input_layout") == "hop_blocks" and a.ndim == 3:
+            # free host-side view into the traced hop-block layout
+            a = a.reshape(a.shape[0], -1, meta["hop_length"], a.shape[2])
+        return exp.call(a)
 
     return call, meta
 

@@ -122,8 +122,13 @@ def identity_scaler(mel_bins: int, n_mel_ch: int = 4, n_aux_ch: int = 3) -> Scal
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _stft_re_im(x, n_fft, hop, w_re, w_im):
-    from .stft import framed_dft
+    from .stft import framed_dft, framed_dft_chunked
 
+    if x.ndim == 4:
+        # pre-chunked (B, T, hop, C) hop-block layout — a free numpy view
+        # of the flat signal for any host producer; skips the ~1.26 ms/step
+        # device chunk-reshape the flat path pays (see framed_dft_chunked)
+        return framed_dft_chunked(x, w_re, w_im)
     B, N, C = x.shape
     n_frames = N // hop
     lpad = n_fft // 2
@@ -186,9 +191,14 @@ class FeatureFrontend:
     """Batched fused feature extractor.
 
     ``__call__(audio, valid_frames=None) -> (B, T, mel_bins, C_feat)`` where
-    ``audio`` is float in [-1, 1], shape (B, N, C_in) and ``C_feat`` is
-    7 for FOA (4 log-mel + 3 IV, matching ``src/datasets.py:292``) or
-    4 + C*(C-1)/2 for MIC (log-mel + GCC-PHAT pairs).
+    ``audio`` is float in [-1, 1], shape (B, N, C_in) — or, preferred on
+    TPU when ``n_fft == 2*hop``, the pre-chunked hop-block view
+    ``(B, N//hop, hop, C_in)`` (``audio.reshape(B, -1, hop, C)``: same
+    bytes, free for the host, and it skips a ~1.26 ms/step device
+    relayout — see :func:`adyolo_tpu.ops.stft.framed_dft_chunked`).
+    ``C_feat`` is 7 for FOA (4 log-mel + 3 IV, matching
+    ``src/datasets.py:292``) or 4 + C*(C-1)/2 for MIC (log-mel +
+    GCC-PHAT pairs).
 
     ``valid_frames``: optional (B,) int32 count of valid STFT frames for
     bucketed variable-length eval batches.

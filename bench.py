@@ -218,10 +218,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     audio16 = None
     if _needs(lambda n: not n.startswith("train-") and n != "scaler-pass"):
-        # ~122 MB device_put only the headline/infer/mic/eval-fwd configs use
+        # ~122 MB device_put only the headline/infer/mic/eval-fwd configs use.
+        # Hop-block (B, T, hop, C) layout: same bytes (free host reshape),
+        # skips the ~1.26 ms/step device chunk relayout (stft.py
+        # framed_dft_chunked; A/B in scripts/stft_formulation_bench.py)
         audio16 = jax.device_put(
             (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1
-             ).astype(np.float32))
+             ).astype(np.float32).reshape(
+                 B, -1, cfg.data.hop_length, 4))
     feat_shape = (1, cfg.data.chunk_feat_frames, cfg.data.mel_bins,
                   cfg.data.nb_feature_channels)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
@@ -293,7 +297,8 @@ def main() -> None:
         targets, mask = pad_yolo_targets(per_clip, 8192)
         audio32 = jax.device_put(
             (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1
-             ).astype(np.float32))
+             ).astype(np.float32).reshape(
+                 B32, -1, cfg.data.hop_length, 4))
 
     def bench_train_step(cfg_b, label):
         mdl = build_model(cfg_b)
