@@ -69,7 +69,8 @@ def main():
             jax.random.PRNGKey(0), jnp.zeros(feat_shape, jnp.float32), False)
         audio = jax.device_put(
             (rng.standard_normal((B, cfg.data.chunk_samples, 4)) * 0.1
-             ).astype(np.float32))
+             ).astype(np.float32)
+            .reshape(B, -1, cfg.data.hop_length, 4))  # hop blocks, like bench
 
         @jax.jit
         def fwd(variables, audio):
@@ -103,7 +104,8 @@ def main():
     targets, mask = pad_yolo_targets(per_clip, 8192)
     audio32 = jax.device_put(
         (rng.standard_normal((B32, cfg.data.chunk_samples, 4)) * 0.1
-         ).astype(np.float32))
+         ).astype(np.float32)
+        .reshape(B32, -1, cfg.data.hop_length, 4))  # hop blocks, like collate
 
     frontend = make_frontend(cfg)
     model = build_model(cfg)
