@@ -348,8 +348,11 @@ class ResNetConformer(nn.Module):
     # SEResNet34.packed_stages): after a stage's strided entry block, the
     # stride-1 channel-preserving blocks run on one (B, T, F/p, p*C)
     # layout — per-conv pack/unpack relayouts collapse to one pack per
-    # stage.  Only layer1 qualifies (C=64, F=16 -> pack 2); OFF until
-    # TPU-measured (ADYOLO_CONF_PACKED=1 to enable / A/B)
+    # stage.  Only layer1 qualifies (C=64, F=16 -> pack 2); measured on
+    # the v5e in round 4 and kept OFF: 5,247 audio_s/s ON vs 5,288 OFF
+    # (PLAN.md "Round 4 — A/B decisions" — the relayout overhead eats the
+    # win).  ADYOLO_CONF_PACKED=1 re-enables; bench.py's
+    # train-conformer-bf16-confpacked A/B line re-measures the call.
     conf_packed_stages: bool = os.environ.get("ADYOLO_CONF_PACKED",
                                               "0") == "1"
     # jax.checkpoint each conformer block (cfg.train.remat / --remat):

@@ -50,8 +50,11 @@ class SEResNet34(nn.Module):
     # stage entry, unpack at pool boundaries) instead of per conv — kills
     # the per-conv pack/unpack relayouts (~8.3 ms/step at B=32 bf16,
     # profiler-measured).  Exact same math and the identical
-    # param/batch_stats tree either way.  ADYOLO_PACKED_STAGES=0 (read at
-    # import, for fresh-process A/B benching) flips the default off.
+    # param/batch_stats tree either way.  Kept ON by the round-3 v5e A/B:
+    # 8,240 audio_s/s ON vs 6,702 OFF on the bf16 train step
+    # (benchlogs/bench_r3b.log; bench.py train-bf16-nopack re-measures).
+    # ADYOLO_PACKED_STAGES=0 (read at import, for fresh-process A/B
+    # benching) flips the default off.
     packed_stages: bool = os.environ.get("ADYOLO_PACKED_STAGES", "1") != "0"
 
     @nn.compact
