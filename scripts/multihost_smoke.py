@@ -135,6 +135,91 @@ def child(rank: int, nprocs: int, single: bool, tp: bool = False) -> None:
     print("CHILD_OK", flush=True)
 
 
+def child_e2e(rank: int, nprocs: int, workdir: str) -> None:
+    """1-epoch ``train_model`` THROUGH the final ``test_model`` under real
+    ``jax.distributed`` (VERDICT r4 weak #5 regression): the end-of-train
+    eval and its unsuffixed ``output_eval`` dir must be produced by process
+    0 only; every other process waits at the barrier and exits cleanly."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{PORT + 1}",
+                               num_processes=nprocs, process_id=rank)
+    from adyolo_tpu.engine.train import train_model
+
+    root = os.path.join(workdir, "data")
+    args = {
+        "action": "train", "dataset": "DCASE2022", "encoder": "se-resnet34",
+        "loss": "adyolo", "seed": 100, "augment": False, "fix_thresh": False,
+        "logger": False, "quick_test": False, "eval_pth": None,
+        "resume_pth": None, "infer_pth": None,
+        "results_dir": os.path.join(workdir, "results"),
+        "batch_size": 4, "nb_iters": 2, "nb_epochs": 1, "exp_id": "mh-e2e",
+    }
+    train_model(args, cfg_overrides={
+        "data": {"data_pth": root,
+                 "name_pth": os.path.join(root, "classes.txt")},
+        "train": {"max_targets_per_clip": 512}})
+    print("CHILD_OK", flush=True)
+
+
+def parent_e2e() -> int:
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="mh_e2e_")
+    from tests.synth_data import make_synth_dataset
+
+    make_synth_dataset(os.path.join(workdir, "data"), n_train=8)
+    print(f"[multihost_smoke] 2-process 1-epoch train THROUGH final test "
+          f"(shared results dir {workdir}/results)...")
+    env = dict(os.environ)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--e2e", "--rank", str(r),
+         "--nprocs", "2", "--workdir", workdir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=REPO) for r in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            o, e = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            print("[multihost_smoke] E2E TIMEOUT (a rank deadlocked at the "
+                  "final-test barrier?)")
+            return 1
+        outs.append((p.returncode, o, e))
+    for r, (rc, o, e) in enumerate(outs):
+        if rc != 0 or "CHILD_OK" not in o:
+            print(f"rank {r} rc={rc}")
+            print(o[-3000:])
+            print(e[-3000:])
+            return 1
+    if "TEST DONE." not in outs[0][1]:
+        print("[multihost_smoke] FAIL: rank 0 did not run the final test")
+        return 1
+    if "TEST DONE." in outs[1][1]:
+        print("[multihost_smoke] FAIL: rank 1 ALSO ran the final test "
+              "(output_eval shared-FS race)")
+        return 1
+    exp = os.path.join(workdir, "results", "mh-e2e")
+    if not os.path.isdir(os.path.join(exp, "output_eval")):
+        print("[multihost_smoke] FAIL: canonical output_eval missing")
+        return 1
+    if os.path.isdir(os.path.join(exp, "output_eval.r1")):
+        print("[multihost_smoke] FAIL: unexpected rank-suffixed output_eval")
+        return 1
+    if not os.path.isdir(os.path.join(exp, "output_val.r1")):
+        print("[multihost_smoke] FAIL: epoch-loop rank suffix missing")
+        return 1
+    print("[multihost_smoke] PASS: final test ran exactly once (process 0); "
+          "rank-1 epoch artifacts suffixed; no shared-FS collisions")
+    return 0
+
+
 def parent(tp: bool = False) -> int:
     env = dict(os.environ)
     tp_args = ["--tp"] if tp else []
@@ -209,8 +294,16 @@ if __name__ == "__main__":
     ap.add_argument("--tp", action="store_true",
                     help="compose TP with multi-host: (data=2, model=2) on "
                          "the conformer instead of pure DP")
+    ap.add_argument("--e2e", action="store_true",
+                    help="1-epoch train_model THROUGH the final test on 2 "
+                         "processes (end-of-train shared-FS regression)")
+    ap.add_argument("--workdir", type=str, default=None)
     a = ap.parse_args()
-    if a.single or a.rank is not None:
+    if a.e2e and a.rank is not None:
+        child_e2e(a.rank, a.nprocs, a.workdir)
+    elif a.e2e:
+        sys.exit(parent_e2e())
+    elif a.single or a.rank is not None:
         child(a.rank or 0, a.nprocs, a.single, tp=a.tp)
     else:
         rc = parent(tp=a.tp)

@@ -6,7 +6,14 @@ better (the SE-ResNet stem's small-channel convs tile per-batch).  One
 process measures every (batch, dtype) variant so the ~2-4 min axon
 first-executable warmup tax is paid once.
 
-Usage: timeout 1500 python scripts/serving_batch_bench.py
+Precision note (ADVICE r4): the f32 variants here run under the backend-
+default matmul precision — the same basis as bench.py's judged headline
+line.  The EXPORT serving path is stricter (engine/export.py wraps f32
+serving in jax.default_matmul_precision('float32') for golden parity), so
+before adopting a winning f32 batch for *exported* serving, re-measure
+under --strict-f32, which mirrors export.py's precision context.
+
+Usage: timeout 1500 python scripts/serving_batch_bench.py [--strict-f32]
 """
 import os
 import sys
@@ -17,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def main(strict_f32=False):
     import jax
     import jax.numpy as jnp
 
@@ -56,8 +63,15 @@ def main():
              ).astype(np.float32).reshape(B, -1, cfg.data.hop_length, 4))
         for name, mdl in (("f32", model_f32), ("bf16", model_bf16)):
             fwd = make_fwd(mdl)
+            import contextlib
+
+            # --strict-f32 mirrors engine/export.py's serving precision
+            prec_ctx = (jax.default_matmul_precision("float32")
+                        if strict_f32 and name == "f32"
+                        else contextlib.nullcontext())
             t0 = time.monotonic()
-            dt = benchmark(fwd, variables, audio, iters=20, warmup=3)
+            with prec_ctx:
+                dt = benchmark(fwd, variables, audio, iters=20, warmup=3)
             fl = compiled_flops(fwd, variables, audio)
             thr = B * secs / dt
             m = mfu(fl, dt)
@@ -67,10 +81,19 @@ def main():
                   f"(wall {time.monotonic()-t0:.0f} s)", flush=True)
         del audio
 
+    # ADVICE r4: a mixed-dtype argmax always picks bf16 and leaves the
+    # per-dtype batch question (the judged f32 headline runs B=16)
+    # unanswered — report the best PER DTYPE, then the overall winner.
+    for dtype in ("f32", "bf16"):
+        cand = [r for r in results if r[1] == dtype]
+        if cand:
+            b = max(cand, key=lambda r: r[2])
+            print(f"BEST[{dtype}]: B={b[0]} {b[2]:.1f} audio_s/s "
+                  f"({100*(b[4] or 0):.1f}% MFU)", flush=True)
     best = max(results, key=lambda r: r[2])
     print(f"BEST: B={best[0]} {best[1]} {best[2]:.1f} audio_s/s "
           f"({100*(best[4] or 0):.1f}% MFU)", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(strict_f32="--strict-f32" in sys.argv[1:])
