@@ -25,7 +25,15 @@ def load_reference():
 
     for name in ("librosa", "librosa.core", "librosa.filters"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            mod = types.ModuleType(name)
+            # a stub without __spec__ breaks importlib.util.find_spec for
+            # OTHER packages probing librosa availability (transformers'
+            # import_utils raises "librosa.__spec__ is None" — seen when
+            # tests/test_mel_golden.py ran after any ref-oracle test)
+            import importlib.machinery
+
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
 
     _install_torchvision_stub()
 
@@ -40,6 +48,12 @@ def load_reference():
         tat.TimeMasking = _Stub
         tat.FrequencyMasking = _Stub
         ta.transforms = tat
+        import importlib.machinery
+
+        # keep importlib.util.find_spec working for availability probes
+        ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
+        tat.__spec__ = importlib.machinery.ModuleSpec(
+            "torchaudio.transforms", loader=None)
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tat
     _loaded = True
@@ -82,12 +96,17 @@ def _install_torchvision_stub():
                 identity = self.downsample(x)
             return self.relu(out + identity)
 
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
     tvm = types.ModuleType("torchvision.models")
     tvr = types.ModuleType("torchvision.models.resnet")
     tvr.BasicBlock = BasicBlock
     tvm.resnet = tvr
     tv.models = tvm
+    for m in (tv, tvm, tvr):
+        # find_spec-safe stubs (see the librosa stub note above)
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, loader=None)
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tvm
     sys.modules["torchvision.models.resnet"] = tvr
