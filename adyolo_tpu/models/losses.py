@@ -22,6 +22,7 @@ through sigmoid.
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -181,6 +182,12 @@ def adyolo_decode_grid(logits, geom: GridGeometry, nb_classes: int,
     return conf_logits, jnp.stack([u, v], axis=-1)
 
 
+# The sorted (scatter-free) AD-YOLO loss is the default; the original
+# scatter-max formulation is kept selectable for A/B benching and as a
+# readable oracle (ADYOLO_SORTED_LOSS=0; bench.py measures the flip).
+_SORTED_LOSS = os.environ.get("ADYOLO_SORTED_LOSS", "1") == "1"
+
+
 def adyolo_loss(
     logits,
     targets,
@@ -190,6 +197,7 @@ def adyolo_loss(
     train_unify: Sequence[float] = (45.0, 25.0, 10.0),
     gains: LossGains = LossGains(),
     frame_mask=None,
+    impl: str = None,
 ):
     """AD-YOLO loss under static shapes (loss.py:189-251).
 
@@ -202,12 +210,142 @@ def adyolo_loss(
     engine's bucket-padded clips; targets never fall on padded frames)
 
     For each unify threshold τ the responsible anchors are
-    ``D < τ  ∪  argmin_a D`` (loss.py:222-224); object/class one-hot grids
-    are built by scatter-max (duplicate (cell, anchor) hits collapse, as
-    boolean indexing does in the reference), and every mean is a masked
-    sum over the static grid with the matching element count as
-    denominator — exactly the set sizes torch's boolean partitions produce.
+    ``D < τ  ∪  argmin_a D`` (loss.py:222-224); duplicate (cell, anchor)
+    hits collapse exactly as boolean indexing does in the reference, and
+    every mean is a masked sum over the static grid with the matching
+    element count as denominator — the set sizes torch's boolean
+    partitions produce.
+
+    Two mathematically identical implementations (``impl`` overrides the
+    ADYOLO_SORTED_LOSS env default):
+
+    * ``"sorted"`` — gathers the K+3 head columns once at every
+      (target, anchor) pair, then dedups responsible hits with two
+      40K-element ``lax.sort`` passes and run-start flags.  No scatter
+      ops and no dense (K, NP) class grid: XLA:TPU lowers the
+      scatter-max one-hot builds of the other path to sequential
+      while/dynamic-update-slice loops (~5.7 ms/step at B=32 in the r4
+      profile) where the sorts are fully vectorized.
+    * ``"scatter"`` — the original formulation: one-hot object/class
+      grids via ``.at[].max`` scatters, dense masked BCE sums.
     """
+    if impl is None:
+        impl = "sorted" if _SORTED_LOSS else "scatter"
+    f = _adyolo_loss_sorted if impl == "sorted" else _adyolo_loss_scatter
+    return f(logits, targets, target_mask, geom, nb_classes, train_unify,
+             gains, frame_mask)
+
+
+def _adyolo_loss_sorted(logits, targets, target_mask, geom, nb_classes,
+                        train_unify, gains, frame_mask):
+    B, T, _ = logits.shape
+    g0, g1 = geom.nb_grids
+    A = geom.nb_anchors
+    K = nb_classes
+    NP = B * T * g0 * g1 * A
+    M = targets.shape[0]
+    assert NP * K < 2 ** 31, "class-key space exceeds int32"
+
+    flat = logits.reshape(NP, K + 3)
+    # dense objectness BCE over all anchors: the negative term sums every
+    # non-responsible anchor, so this is the one unavoidable dense pass
+    neg_all = _bce_logits_neg(flat[:, 0])  # (NP,)
+
+    valid = target_mask
+    bi = targets[:, 0].astype(jnp.int32)
+    ti = targets[:, 1].astype(jnp.int32)
+    gi = jnp.where(valid, targets[:, 2].astype(jnp.int32), 0)
+    gj = jnp.where(valid, targets[:, 3].astype(jnp.int32), 0)
+    ci = jnp.where(valid, targets[:, 4].astype(jnp.int32), 0)
+    cell = ((bi * T + ti) * g0 + gi) * g1 + gj
+    cell = jnp.where(valid, cell, 0)
+
+    anchor_flat = cell[:, None] * A + jnp.arange(A)[None, :]  # (M, A)
+    # ONE row gather serves everything below: (u, v) decode, objectness
+    # BCE at hit anchors, and both class-BCE terms
+    rows = flat[anchor_flat.reshape(-1)].reshape(M, A, K + 3)
+
+    scale = geom.uv_to_degrees_scale()  # numpy (2,)
+    off = jnp.asarray(geom.offset)  # (g0, g1, 2)
+    u, v = _uv_unnormalize(jnp.tanh(rows[..., K + 1]),
+                           jnp.tanh(rows[..., K + 2]), scale,
+                           off[gi, gj, 0][:, None], off[gi, gj, 1][:, None])
+    pred_uv = jnp.stack([u, v], axis=-1)  # (M, A, 2)
+    D = gc_distance_deg(pred_uv, targets[:, None, 5:7], clip_eps=1e-7)
+
+    amin_onehot = jax.nn.one_hot(jnp.argmin(D, axis=1), A, dtype=bool)
+
+    # responsibility rank: -1 for the forced argmin anchor (responsible at
+    # every τ), D elsewhere, +inf for padded targets.  Within a run of
+    # equal sort keys the first element carries the minimum rank, so
+    # "some hit on this key is responsible at τ" == "run starts AND its
+    # rank < τ" — the run-start flag is the dedup the scatter-max did.
+    rank = jnp.where(amin_onehot, -1.0, D)
+    rank = jnp.where(valid[:, None], rank, jnp.inf).reshape(-1)  # (M*A,)
+
+    z_cls = rows[..., 1:K + 1]  # (M, A, K)
+    pa = _bce_logits_pos(rows[..., 0]).reshape(-1)  # (M*A,)
+    na = _bce_logits_neg(rows[..., 0]).reshape(-1)
+    # Σ_k BCE(class_k, 0) at each hit anchor: the all-negative baseline of
+    # the class grid row; marked (class, anchor) pairs add pos-neg deltas
+    nksum = _bce_logits_neg(z_cls).sum(-1).reshape(-1)
+    z_tgt = jnp.take_along_axis(
+        z_cls, jnp.broadcast_to(ci[:, None, None], (M, A, 1)), axis=2)[..., 0]
+    delta = (_bce_logits_pos(z_tgt) - _bce_logits_neg(z_tgt)).reshape(-1)
+
+    keys = anchor_flat.reshape(-1)
+    k_s, r_s, pa_s, na_s, nk_s = jax.lax.sort(
+        (keys, rank, pa, na, nksum), num_keys=2)
+    start1 = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+
+    keys2 = (anchor_flat * K + ci[:, None]).reshape(-1)  # (class, anchor) key
+    k2_s, r2_s, d2_s = jax.lax.sort((keys2, rank, delta), num_keys=2)
+    start2 = jnp.concatenate([jnp.ones((1,), bool), k2_s[1:] != k2_s[:-1]])
+
+    if frame_mask is None:
+        neg_total = neg_all.sum()
+        n_valid_anchors = float(NP)
+    else:
+        anchor_validf = jnp.repeat(
+            frame_mask.reshape(-1).astype(jnp.float32), g0 * g1 * A)  # (NP,)
+        neg_total = jnp.sum(neg_all * anchor_validf)
+        n_valid_anchors = anchor_validf.sum()
+
+    total = jnp.asarray(0.0, jnp.float32)
+    n_taus = len(train_unify)
+    for i, tau in enumerate(train_unify):
+        first1 = (start1 & (r_s < tau)).astype(jnp.float32)
+        first2 = (start2 & (r2_s < tau)).astype(jnp.float32)
+        n_pos = first1.sum()
+        n_pos_f = jnp.maximum(n_pos, 1.0)
+        pos_loss = jnp.sum(pa_s * first1) / n_pos_f
+        n_neg_f = jnp.maximum(n_valid_anchors - n_pos, 1.0)
+        # hit anchors always sit on valid frames, so subtracting them from
+        # the (masked) total leaves exactly the valid negative set
+        neg_loss = (neg_total - jnp.sum(na_s * first1)) / n_neg_f
+        class_loss = (jnp.sum(nk_s * first1)
+                      + jnp.sum(d2_s * first2)) / (n_pos_f * K)
+
+        if i == 0:
+            # angular term: every responsible (target, anchor) pair counts,
+            # duplicates included (reference sums D[resp] over the pairs)
+            respf = (((D < tau) | amin_onehot)
+                     & valid[:, None]).astype(jnp.float32)
+            n_resp = jnp.maximum(respf.sum(), 1.0)
+            total = total + (jnp.sum(D / 180.0 * respf)
+                             / n_resp) * gains.angular_gain
+
+        total = total + (
+            pos_loss * gains.object_gain
+            + neg_loss * gains.nonobj_gain
+            + class_loss * gains.class_gain
+        ) / n_taus
+
+    return total
+
+
+def _adyolo_loss_scatter(logits, targets, target_mask, geom, nb_classes,
+                         train_unify, gains, frame_mask):
     B, T, _ = logits.shape
     g0, g1 = geom.nb_grids
     A = geom.nb_anchors

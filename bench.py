@@ -103,17 +103,22 @@ GROUP_CONFIGS = DEFAULT_CONFIGS + ("headline-bf16",)
 # driver artifact can re-decide any default without code changes
 AB_CONFIGS = ("headline-bf16", "train-bf16-nopack",
               "train-conformer-bf16-noflash",
-              "train-conformer-bf16-timepack")
+              "train-conformer-bf16-timepack",
+              "train-conformer-bf16-confpacked",
+              "train-bf16-scatterloss")
 # env overrides per A/B config; applied in the worker process before any
 # adyolo/jax import (the flags are read at import time).  headline-bf16
 # needs none: the serving dtype is a runtime build_model argument.
 CONFIG_ENV = {
     "train-bf16-nopack": {"ADYOLO_PACKED_STAGES": "0"},
-    # each line measures the NON-default side of a decided r4 A/B (flash
-    # default "auto", conformer time_pack default OFF — PLAN.md "Round 4
-    # — A/B decisions") so any driver artifact can re-check the call
+    # each line measures the NON-default side of a decided A/B (flash
+    # default "auto", conformer time_pack default OFF, conf_packed OFF —
+    # PLAN.md "Round 4 — A/B decisions"; sorted loss ON — "Round 5") so
+    # any driver artifact can re-check the call
     "train-conformer-bf16-noflash": {"ADYOLO_FLASH_MHSA": "0"},
     "train-conformer-bf16-timepack": {"ADYOLO_TIME_PACK": "1"},
+    "train-conformer-bf16-confpacked": {"ADYOLO_CONF_PACKED": "1"},
+    "train-bf16-scatterloss": {"ADYOLO_SORTED_LOSS": "0"},
 }
 ALL_CONFIGS = DEFAULT_CONFIGS + AB_CONFIGS + (
     "infer-latency", "scaler-pass", "mic-gcc",
@@ -133,6 +138,10 @@ METRIC_OF = {
         "train-step throughput (conformer, bf16, flash-MHSA OFF)",
     "train-conformer-bf16-timepack":
         "train-step throughput (conformer, bf16, time-pack ON)",
+    "train-conformer-bf16-confpacked":
+        "train-step throughput (conformer, bf16, conf-packed stages ON)",
+    "train-bf16-scatterloss":
+        "train-step throughput (B=32, bf16, scatter-max loss)",
     "infer-latency": "p50 per-clip infer latency (fwd+decode, 20 s clip)",
     "scaler-pass": "scaler-pass feature kernel throughput",
     "mic-gcc": "MIC/GCC-PHAT features+forward",
@@ -362,6 +371,11 @@ def main() -> None:
         cfg32conf, "train-step throughput (conformer, bf16, flash-MHSA OFF)"))
     _run_config("train-conformer-bf16-timepack", lambda: bench_train_step(
         cfg32conf, "train-step throughput (conformer, bf16, time-pack ON)"))
+    _run_config("train-conformer-bf16-confpacked", lambda: bench_train_step(
+        cfg32conf,
+        "train-step throughput (conformer, bf16, conf-packed stages ON)"))
+    _run_config("train-bf16-scatterloss", lambda: bench_train_step(
+        cfg32bf, "train-step throughput (B=32, bf16, scatter-max loss)"))
 
     if run_all:
         from adyolo_tpu.ops.decode import PostProcessor

@@ -121,6 +121,57 @@ def test_adyolo_loss_padding_invariance():
     np.testing.assert_allclose(la, lb, rtol=1e-6)
 
 
+@pytest.mark.parametrize("n_events", [0, 1, 7])
+def test_adyolo_sorted_matches_scatter(n_events):
+    """The scatter-free (sorted) implementation must agree with the
+    scatter-max formulation — value and gradient — including duplicate
+    (cell, anchor) hits, which is exactly what the dedup handles."""
+    import jax
+
+    rng = np.random.default_rng(21 + n_events)
+    B, T = 2, 8
+    P = GEOM.nb_predicts * (K + 3)
+    logits = jnp.asarray((rng.standard_normal((B, T, P)) * 0.7).astype(np.float32))
+    per_clip, _ = _random_events(rng, B, T, n_events)
+    if n_events:
+        # engineer guaranteed duplicates: two same-frame events of different
+        # classes at nearly the same direction -> same cell, shared anchors
+        label = {2: [[0, 0, 30.0, 10.0], [1, 0, 31.0, 11.0],
+                     [0, 0, 30.5, 10.5]]}
+        per_clip[0] = np.concatenate(
+            [per_clip[0], encode_adyolo(label, T, GEOM)], axis=0)
+    targets, mask = pad_yolo_targets(per_clip, max_targets=256)
+    targets, mask = jnp.asarray(targets), jnp.asarray(mask)
+
+    args = (targets, mask, GEOM, K, (45.0, 25.0, 10.0), LossGains())
+    v_sorted = float(L.adyolo_loss(logits, *args, impl="sorted"))
+    v_scatter = float(L.adyolo_loss(logits, *args, impl="scatter"))
+    np.testing.assert_allclose(v_sorted, v_scatter, rtol=1e-5, atol=1e-6)
+
+    g_sorted = jax.grad(lambda lg: L.adyolo_loss(lg, *args, impl="sorted"))(logits)
+    g_scatter = jax.grad(lambda lg: L.adyolo_loss(lg, *args, impl="scatter"))(logits)
+    np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_scatter),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_adyolo_sorted_matches_scatter_frame_mask():
+    """Bucket-padded eval clips: both implementations must agree on the
+    frame-masked loss (padded frames leave the negative set)."""
+    rng = np.random.default_rng(33)
+    B, T, t_valid = 2, 8, 5
+    P = GEOM.nb_predicts * (K + 3)
+    logits = jnp.asarray((rng.standard_normal((B, T, P)) * 0.7).astype(np.float32))
+    per_clip, _ = _random_events(rng, B, t_valid, 4)
+    targets, mask = pad_yolo_targets(per_clip, max_targets=128)
+    fm = jnp.asarray(np.arange(T)[None, :] < t_valid).repeat(B, axis=0)
+
+    args = (jnp.asarray(targets), jnp.asarray(mask), GEOM, K,
+            (45.0, 25.0, 10.0), LossGains())
+    v_sorted = float(L.adyolo_loss(logits, *args, frame_mask=fm, impl="sorted"))
+    v_scatter = float(L.adyolo_loss(logits, *args, frame_mask=fm, impl="scatter"))
+    np.testing.assert_allclose(v_sorted, v_scatter, rtol=1e-5, atol=1e-6)
+
+
 def test_adyolo_grad_finite():
     import jax
 
